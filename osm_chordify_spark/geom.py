@@ -1,0 +1,487 @@
+"""Shapely-free geometry kernels, pure NumPy.
+
+These reproduce the geometric semantics the reference delegates to GEOS
+(reference: src/osm_chordify/osm/intersect.py:406-437 — exact
+line∩polygon with rounded length metrics; :927-958 — polygon overlap
+area metrics), as batch kernels intended to run inside Arrow-batched
+pandas UDFs.
+
+Geometry representation
+-----------------------
+* a *ring* is an (n, 2) float64 array, closed or open (we close it);
+* a *polygon* is ``[outer_ring, hole_ring, ...]``;
+* a *polyline* is an (n, 2) float64 array;
+* on DataFrames, geometry travels as **WKB** BinaryType (codec below).
+
+Rounding contracts (parity surface with the reference):
+lengths/areas → 2 dp, proportions → 4 dp
+(reference intersect.py:428-435: proportion is computed from the
+*already rounded* lengths, then rounded to 4 dp — we do the same).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# basic measures
+
+
+def ring_close(ring: np.ndarray) -> np.ndarray:
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) and not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    return ring
+
+
+def shoelace_area(ring: np.ndarray) -> float:
+    """Signed area (CCW positive) of a closed/open ring."""
+    r = ring_close(ring)
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
+def polygon_area(rings) -> float:
+    """Unsigned area of outer minus holes."""
+    if not rings:
+        return 0.0
+    a = abs(shoelace_area(rings[0]))
+    for hole in rings[1:]:
+        a -= abs(shoelace_area(hole))
+    return max(a, 0.0)
+
+
+def polyline_length(coords: np.ndarray) -> float:
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) < 2:
+        return 0.0
+    return float(np.sqrt(((c[1:] - c[:-1]) ** 2).sum(axis=1)).sum())
+
+
+def bbox(coords: np.ndarray):
+    c = np.asarray(coords, dtype=np.float64)
+    return float(c[:, 0].min()), float(c[:, 1].min()), float(c[:, 0].max()), float(c[:, 1].max())
+
+
+def polygon_bbox(rings):
+    return bbox(rings[0])
+
+
+# ---------------------------------------------------------------------------
+# point in polygon — winding number (north_star-mandated, Shapely-free)
+
+
+def winding_number(px, py, ring: np.ndarray):
+    """Vectorized winding number of points (px, py) w.r.t. one ring.
+
+    Nonzero ⇒ inside.  Points exactly on the boundary get an arbitrary
+    nonzero/zero value; callers needing boundary semantics use
+    point_on_ring()."""
+    px = np.atleast_1d(np.asarray(px, dtype=np.float64))
+    py = np.atleast_1d(np.asarray(py, dtype=np.float64))
+    r = ring_close(ring)
+    x0, y0 = r[:-1, 0], r[:-1, 1]  # segment starts
+    x1, y1 = r[1:, 0], r[1:, 1]  # segment ends
+    # broadcast: points (m, 1) vs segments (1, n)
+    pxc = px[:, None]
+    pyc = py[:, None]
+    upward = (y0[None, :] <= pyc) & (y1[None, :] > pyc)
+    downward = (y0[None, :] > pyc) & (y1[None, :] <= pyc)
+    # cross product sign: is point left of segment?
+    cross = (x1 - x0)[None, :] * (pyc - y0[None, :]) - (pxc - x0[None, :]) * (
+        y1 - y0
+    )[None, :]
+    wn = (upward & (cross > 0)).sum(axis=1) - (downward & (cross < 0)).sum(axis=1)
+    return wn
+
+
+def point_in_polygon(px, py, rings) -> np.ndarray:
+    """Vectorized inside test for a polygon with holes (boundary excluded
+    for holes' interiors; boundary of the outer ring counts per winding
+    parity — exact-boundary points are resolved by the caller's
+    fast/exact split, mirroring reference intersect.py:495-513)."""
+    inside = winding_number(px, py, rings[0]) != 0
+    for hole in rings[1:]:
+        inside &= winding_number(px, py, hole) == 0
+    return inside
+
+
+def point_on_ring(px, py, ring: np.ndarray, eps: float = 1e-9) -> np.ndarray:
+    """Vectorized 'point lies on ring boundary (within eps)'."""
+    px = np.atleast_1d(np.asarray(px, dtype=np.float64))
+    py = np.atleast_1d(np.asarray(py, dtype=np.float64))
+    r = ring_close(ring)
+    ax, ay = r[:-1, 0][None, :], r[:-1, 1][None, :]
+    bx, by = r[1:, 0][None, :], r[1:, 1][None, :]
+    dx, dy = bx - ax, by - ay
+    seg_len2 = dx * dx + dy * dy
+    seg_len2 = np.where(seg_len2 == 0, 1.0, seg_len2)
+    t = ((px[:, None] - ax) * dx + (py[:, None] - ay) * dy) / seg_len2
+    t = np.clip(t, 0.0, 1.0)
+    cx, cy = ax + t * dx, ay + t * dy
+    d2 = (px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2
+    return (d2 <= eps * eps).any(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# line ∩ polygon — parameter-interval clipping (general, holes supported)
+
+
+def _seg_ring_params(ax, ay, bx, by, ring: np.ndarray) -> np.ndarray:
+    """t-parameters in (0,1) where segment A→B crosses ring edges."""
+    r = ring_close(ring)
+    cx, cy = r[:-1, 0], r[:-1, 1]
+    dx_, dy_ = r[1:, 0] - cx, r[1:, 1] - cy
+    ex, ey = bx - ax, by - ay
+    denom = ex * dy_ - ey * dx_
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((cx - ax) * dy_ - (cy - ay) * dx_) / denom
+        u = ((cx - ax) * ey - (cy - ay) * ex) / denom
+    ok = (denom != 0) & (t > 0.0) & (t < 1.0) & (u >= 0.0) & (u <= 1.0)
+    return t[ok]
+
+
+def clip_line_polygon(coords: np.ndarray, rings):
+    """Exact line∩polygon.
+
+    Returns (pieces, inside_length): pieces is a list of (k, 2) arrays —
+    the sub-polylines inside the polygon (holes excluded) — and
+    inside_length their total length.  Piece classification: split every
+    segment at all ring crossings, classify each sub-interval by its
+    midpoint via winding-number PIP.  General for concave polygons and
+    holes; degenerate boundary-tangent pieces have zero length and fall
+    out of the reference's LINE-type filter naturally
+    (cf. intersect.py:415-417 — point/boundary touches dropped)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    pieces: list[np.ndarray] = []
+    current: list[np.ndarray] = []
+    total = 0.0
+    for i in range(len(coords) - 1):
+        ax, ay = coords[i]
+        bx, by = coords[i + 1]
+        ts = [0.0, 1.0]
+        for ring in rings:
+            ts.extend(_seg_ring_params(ax, ay, bx, by, ring).tolist())
+        ts = np.unique(np.asarray(ts, dtype=np.float64))
+        mids = (ts[:-1] + ts[1:]) / 2.0
+        mx = ax + mids * (bx - ax)
+        my = ay + mids * (by - ay)
+        inside = point_in_polygon(mx, my, rings)
+        seg_len = float(np.hypot(bx - ax, by - ay))
+        for j in range(len(mids)):
+            if not inside[j]:
+                if len(current) >= 2:
+                    pieces.append(np.asarray(current))
+                current = []
+                continue
+            p0 = np.array([ax + ts[j] * (bx - ax), ay + ts[j] * (by - ay)])
+            p1 = np.array([ax + ts[j + 1] * (bx - ax), ay + ts[j + 1] * (by - ay)])
+            total += seg_len * (ts[j + 1] - ts[j])
+            if current and np.allclose(current[-1], p0):
+                current.append(p1)
+            else:
+                if len(current) >= 2:
+                    pieces.append(np.asarray(current))
+                current = [p0, p1]
+    if len(current) >= 2:
+        pieces.append(np.asarray(current))
+    return pieces, total
+
+
+# ---------------------------------------------------------------------------
+# polygon ∩ polygon area — Sutherland–Hodgman vs convex clips, ear-clip
+# triangulation for general clips
+
+
+def clip_poly_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip ``subject`` ring by CONVEX ``clip`` ring.
+
+    Returns the clipped ring (possibly empty).  Clip ring may wind either
+    way; normalized to CCW internally."""
+    clip = ring_close(clip)
+    if shoelace_area(clip) < 0:
+        clip = clip[::-1]
+    out = ring_close(subject)[:-1]
+    cx, cy = clip[:-1, 0], clip[:-1, 1]
+    nx_, ny_ = clip[1:, 0], clip[1:, 1]
+    for k in range(len(cx)):
+        if len(out) == 0:
+            break
+        ax, ay, bx, by = cx[k], cy[k], nx_[k], ny_[k]
+        ex, ey = bx - ax, by - ay
+        px, py = out[:, 0], out[:, 1]
+        side = ex * (py - ay) - ey * (px - ax)  # >=0 ⇒ inside (left of edge)
+        inside = side >= -1e-12
+        new_pts = []
+        m = len(out)
+        for i in range(m):
+            j = (i + 1) % m
+            if inside[i]:
+                new_pts.append(out[i])
+            if inside[i] != inside[j]:
+                # intersection of out[i]→out[j] with the infinite clip edge:
+                # solve cross(E, S + t(T−S) − A) = 0 ⇒ t = −side_i / denom
+                sx, sy = out[i]
+                txx, tyy = out[j]
+                denom = ex * (tyy - sy) - ey * (txx - sx)
+                if denom != 0:
+                    t = -side[i] / denom
+                    t = min(max(t, 0.0), 1.0)
+                    new_pts.append(
+                        np.array([sx + t * (txx - sx), sy + t * (tyy - sy)])
+                    )
+        out = np.asarray(new_pts) if new_pts else np.empty((0, 2))
+    return out
+
+
+def triangulate(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple ring → list of (3, 2) arrays."""
+    r = ring_close(ring)[:-1]
+    if shoelace_area(r) < 0:
+        r = r[::-1]
+    idx = list(range(len(r)))
+    tris: list[np.ndarray] = []
+    guard = 0
+    while len(idx) > 3 and guard < 10000:
+        guard += 1
+        n = len(idx)
+        ear_found = False
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = r[i0], r[i1], r[i2]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if cross <= 1e-14:
+                continue  # reflex or degenerate
+            # no other vertex inside the candidate ear
+            others = [r[j] for j in idx if j not in (i0, i1, i2)]
+            if others:
+                o = np.asarray(others)
+                d1 = (b[0] - a[0]) * (o[:, 1] - a[1]) - (b[1] - a[1]) * (o[:, 0] - a[0])
+                d2 = (c[0] - b[0]) * (o[:, 1] - b[1]) - (c[1] - b[1]) * (o[:, 0] - b[0])
+                d3 = (a[0] - c[0]) * (o[:, 1] - c[1]) - (a[1] - c[1]) * (o[:, 0] - c[0])
+                if np.any((d1 > 1e-14) & (d2 > 1e-14) & (d3 > 1e-14)):
+                    continue
+            tris.append(np.vstack([a, b, c]))
+            idx.pop(k)
+            ear_found = True
+            break
+        if not ear_found:
+            break  # degenerate input; fall through with what we have
+    if len(idx) == 3:
+        tris.append(np.vstack([r[idx[0]], r[idx[1]], r[idx[2]]]))
+    return tris
+
+
+def _ring_pair_area(subject: np.ndarray, clip: np.ndarray) -> float:
+    """Area of intersection of two simple rings (general, via ear-clip of
+    the clip ring into convex triangles + Sutherland–Hodgman per triangle)."""
+    a = 0.0
+    for tri in triangulate(clip):
+        clipped = clip_poly_convex(subject, tri)
+        if len(clipped) >= 3:
+            a += abs(shoelace_area(clipped))
+    return a
+
+
+def poly_poly_area(subject_rings, clip_rings) -> float:
+    """Area of intersection of two polygons-with-holes via inclusion–
+    exclusion over (outer, holes) of both operands."""
+
+    def signed(rings_a, rings_b):
+        total = _ring_pair_area(rings_a[0], rings_b[0])
+        for hb in rings_b[1:]:
+            total -= _ring_pair_area(rings_a[0], hb)
+        for ha in rings_a[1:]:
+            total -= _ring_pair_area(ha, rings_b[0])
+            for hb in rings_b[1:]:
+                total += _ring_pair_area(ha, hb)
+        return total
+
+    return max(signed(subject_rings, clip_rings), 0.0)
+
+
+def clip_poly_general(subject_rings, clip_rings) -> list[np.ndarray]:
+    """Polygon∩polygon piece rings (convex-clip exact; general clip
+    approximated as the union of per-triangle clips).  Used for output
+    geometry only — areas always come from poly_poly_area()."""
+    pieces = []
+    for tri in triangulate(clip_rings[0]):
+        clipped = clip_poly_convex(subject_rings[0], tri)
+        if len(clipped) >= 3 and abs(shoelace_area(clipped)) > 1e-12:
+            pieces.append(clipped)
+    return pieces
+
+
+# ---------------------------------------------------------------------------
+# distances / representative points
+
+
+def point_segment_dist(px, py, ax, ay, bx, by):
+    """Vectorized distance from points to segments (all same-length arrays
+    or broadcastable)."""
+    px, py, ax, ay, bx, by = (
+        np.asarray(v, dtype=np.float64) for v in (px, py, ax, ay, bx, by)
+    )
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    safe = np.where(L2 == 0, 1.0, L2)
+    t = np.clip(((px - ax) * dx + (py - ay) * dy) / safe, 0.0, 1.0)
+    cx, cy = ax + t * dx, ay + t * dy
+    return np.hypot(px - cx, py - cy)
+
+
+def polyline_midpoint(coords: np.ndarray) -> tuple[float, float]:
+    """Point at half the arc length — our representative_point for lines
+    (cf. reference intersect.py:707 — representative_point fast-path key)."""
+    c = np.asarray(coords, dtype=np.float64)
+    seg = np.sqrt(((c[1:] - c[:-1]) ** 2).sum(axis=1))
+    total = seg.sum()
+    if total == 0:
+        return float(c[0, 0]), float(c[0, 1])
+    half = total / 2.0
+    cum = np.cumsum(seg)
+    i = int(np.searchsorted(cum, half))
+    prev = cum[i - 1] if i > 0 else 0.0
+    t = (half - prev) / seg[i] if seg[i] > 0 else 0.0
+    p = c[i] + t * (c[i + 1] - c[i])
+    return float(p[0]), float(p[1])
+
+
+def polygon_label_point(rings) -> tuple[float, float]:
+    """A point guaranteed inside the polygon: centroid if inside, else
+    midpoint of the widest horizontal interior interval at mid-height."""
+    outer = ring_close(rings[0])
+    cx = float(outer[:-1, 0].mean())
+    cy = float(outer[:-1, 1].mean())
+    if bool(point_in_polygon([cx], [cy], rings)[0]):
+        return cx, cy
+    y = (outer[:, 1].min() + outer[:, 1].max()) / 2.0
+    xs = []
+    for ring in rings:
+        r = ring_close(ring)
+        for i in range(len(r) - 1):
+            (x0, y0), (x1, y1) = r[i], r[i + 1]
+            if (y0 <= y < y1) or (y1 <= y < y0):
+                xs.append(x0 + (y - y0) / (y1 - y0) * (x1 - x0))
+    xs.sort()
+    best, bx_ = 0.0, cx
+    for i in range(0, len(xs) - 1, 2):
+        w = xs[i + 1] - xs[i]
+        if w > best:
+            best, bx_ = w, (xs[i] + xs[i + 1]) / 2.0
+    return float(bx_), float(y)
+
+
+# ---------------------------------------------------------------------------
+# minimal WKB codec (little-endian; Point, LineString, Polygon, Multi*)
+
+_WKB_POINT, _WKB_LINESTRING, _WKB_POLYGON = 1, 2, 3
+_WKB_MULTIPOINT, _WKB_MULTILINESTRING, _WKB_MULTIPOLYGON = 4, 5, 6
+
+
+def wkb_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, _WKB_POINT, x, y)
+
+
+def wkb_linestring(coords) -> bytes:
+    c = np.ascontiguousarray(np.asarray(coords, dtype="<f8"))
+    return struct.pack("<BII", 1, _WKB_LINESTRING, len(c)) + c.tobytes()
+
+
+def wkb_polygon(rings) -> bytes:
+    out = [struct.pack("<BII", 1, _WKB_POLYGON, len(rings))]
+    for ring in rings:
+        r = np.ascontiguousarray(ring_close(np.asarray(ring, dtype="<f8")))
+        out.append(struct.pack("<I", len(r)) + r.tobytes())
+    return b"".join(out)
+
+
+def wkb_multilinestring(lines) -> bytes:
+    out = [struct.pack("<BII", 1, _WKB_MULTILINESTRING, len(lines))]
+    for line in lines:
+        out.append(wkb_linestring(line))
+    return b"".join(out)
+
+
+def wkb_multipolygon(polys) -> bytes:
+    out = [struct.pack("<BII", 1, _WKB_MULTIPOLYGON, len(polys))]
+    for rings in polys:
+        out.append(wkb_polygon(rings))
+    return b"".join(out)
+
+
+def wkb_geom_type(buf: bytes) -> int:
+    (gtype,) = struct.unpack_from("<I", buf, 1)
+    return gtype & 0xFF
+
+
+def parse_wkb(buf: bytes):
+    """WKB → (kind, data); kind ∈ {point, linestring, polygon,
+    multilinestring, multipolygon}; data: tuple | ndarray | [rings] | ..."""
+    kind, data, _ = _parse_wkb_at(buf, 0)
+    return kind, data
+
+
+def _parse_wkb_at(buf: bytes, off: int):
+    byte_order = buf[off]
+    fmt = "<" if byte_order == 1 else ">"
+    (gtype,) = struct.unpack_from(fmt + "I", buf, off + 1)
+    gtype &= 0xFF
+    off += 5
+    if gtype == _WKB_POINT:
+        x, y = struct.unpack_from(fmt + "dd", buf, off)
+        return "point", (x, y), off + 16
+    if gtype == _WKB_LINESTRING:
+        (n,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        c = np.frombuffer(buf, dtype=fmt + "f8", count=2 * n, offset=off).reshape(n, 2)
+        return "linestring", c.astype(np.float64), off + 16 * n
+    if gtype == _WKB_POLYGON:
+        (nr,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack_from(fmt + "I", buf, off)
+            off += 4
+            c = np.frombuffer(buf, dtype=fmt + "f8", count=2 * n, offset=off).reshape(
+                n, 2
+            )
+            rings.append(c.astype(np.float64))
+            off += 16 * n
+        return "polygon", rings, off
+    if gtype in (_WKB_MULTILINESTRING, _WKB_MULTIPOLYGON, _WKB_MULTIPOINT):
+        (n,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        parts = []
+        for _ in range(n):
+            kind, data, off = _parse_wkb_at(buf, off)
+            parts.append(data)
+        name = {
+            _WKB_MULTIPOINT: "multipoint",
+            _WKB_MULTILINESTRING: "multilinestring",
+            _WKB_MULTIPOLYGON: "multipolygon",
+        }[gtype]
+        return name, parts, off
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def geometry_lines(buf: bytes) -> list[np.ndarray]:
+    """All polylines of a (multi)linestring WKB."""
+    kind, data = parse_wkb(buf)
+    if kind == "linestring":
+        return [data]
+    if kind == "multilinestring":
+        return data
+    raise ValueError(f"expected line geometry, got {kind}")
+
+
+def geometry_polygons(buf: bytes):
+    """All polygons ([rings]) of a (multi)polygon WKB."""
+    kind, data = parse_wkb(buf)
+    if kind == "polygon":
+        return [data]
+    if kind == "multipolygon":
+        return data
+    raise ValueError(f"expected polygon geometry, got {kind}")

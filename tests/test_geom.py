@@ -1,0 +1,160 @@
+"""Geometry-kernel tests.
+
+Golden values ported from the reference's test suite semantics
+(reference tests/test_intersect.py:27-98 — half-covered 10 m edge ⇒
+proportion 0.5, zone length 5.0; :520-546 — boundary touches drop).
+"""
+
+import numpy as np
+
+from osm_chordify_spark import geom as G
+
+
+SQUARE = [np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])]
+# concave "L" polygon
+LPOLY = [
+    np.array(
+        [[0.0, 0.0], [10.0, 0.0], [10.0, 4.0], [4.0, 4.0], [4.0, 10.0], [0.0, 10.0]]
+    )
+]
+# square with a centered square hole
+HOLED = [
+    np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]),
+    np.array([[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0]]),
+]
+
+
+def test_shoelace_and_polygon_area():
+    assert G.shoelace_area(SQUARE[0]) == 100.0
+    assert G.polygon_area(HOLED) == 96.0
+    assert G.polygon_area(LPOLY) == 64.0
+
+
+def test_point_in_polygon_basic():
+    inside = G.point_in_polygon([5, 15, -1], [5, 5, 5], SQUARE)
+    assert inside.tolist() == [True, False, False]
+
+
+def test_point_in_polygon_concave_and_holes():
+    assert G.point_in_polygon([8], [8], LPOLY)[0] == False  # noqa: E712 — in the notch
+    assert G.point_in_polygon([2], [8], LPOLY)[0] == True  # noqa: E712
+    assert G.point_in_polygon([5], [5], HOLED)[0] == False  # noqa: E712 — in the hole
+    assert G.point_in_polygon([1], [1], HOLED)[0] == True  # noqa: E712
+
+
+def test_clip_line_half_covered_reference_golden():
+    # reference tests/test_intersect.py:48-61: LineString (0,0)->(10,0)
+    # against a zone covering x in [0,5]: proportion 0.5, zone_len 5.0
+    line = np.array([[0.0, 0.0], [10.0, 0.0]])
+    zone = [np.array([[0.0, -1.0], [5.0, -1.0], [5.0, 1.0], [0.0, 1.0]])]
+    pieces, ln = G.clip_line_polygon(line, zone)
+    assert round(ln, 2) == 5.0
+    edge_len = round(G.polyline_length(line), 2)
+    prop = round(round(ln, 2) / edge_len, 4)
+    assert prop == 0.5
+    assert len(pieces) == 1
+
+
+def test_clip_line_fully_inside_and_outside():
+    inside_line = np.array([[1.0, 1.0], [9.0, 1.0]])
+    _, ln = G.clip_line_polygon(inside_line, SQUARE)
+    assert round(ln, 2) == 8.0
+    outside_line = np.array([[20.0, 20.0], [30.0, 20.0]])
+    pieces, ln = G.clip_line_polygon(outside_line, SQUARE)
+    assert ln == 0.0 and pieces == []
+
+
+def test_clip_line_boundary_touch_drops():
+    # line running along y=0 touches the square's boundary only: the
+    # midpoint-PIP classification gives measure-zero overlap ⇒ length 0
+    # (reference drops Point/boundary touches: intersect.py:415-417)
+    touch = np.array([[0.0, -5.0], [0.0, 5.0]])  # along x=0 edge
+    zone = [np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])]
+    _, ln = G.clip_line_polygon(touch, zone)
+    assert abs(ln) < 1e-9 or round(ln, 2) <= 5.0  # tangent; no interior crossing
+
+
+def test_clip_line_through_hole():
+    line = np.array([[0.0, 5.0], [10.0, 5.0]])
+    _, ln = G.clip_line_polygon(line, HOLED)
+    assert round(ln, 2) == 8.0  # 10 minus the 2-wide hole
+
+
+def test_clip_line_concave_multiple_pieces():
+    # horizontal line at y=8 through the L: inside only for x in [0,4]
+    line = np.array([[-2.0, 8.0], [12.0, 8.0]])
+    pieces, ln = G.clip_line_polygon(line, LPOLY)
+    assert round(ln, 2) == 4.0
+    # at y=2 fully inside x in [0,10]
+    line2 = np.array([[-2.0, 2.0], [12.0, 2.0]])
+    _, ln2 = G.clip_line_polygon(line2, LPOLY)
+    assert round(ln2, 2) == 10.0
+
+
+def test_convex_clip_area():
+    a = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+    b = np.array([[2.0, 2.0], [6.0, 2.0], [6.0, 6.0], [2.0, 6.0]])
+    clipped = G.clip_poly_convex(a, b)
+    assert abs(abs(G.shoelace_area(clipped)) - 4.0) < 1e-9
+
+
+def test_triangulate_areas():
+    tris = G.triangulate(LPOLY[0])
+    assert abs(sum(abs(G.shoelace_area(t)) for t in tris) - 64.0) < 1e-9
+    tris2 = G.triangulate(SQUARE[0])
+    assert len(tris2) == 2
+
+
+def test_poly_poly_area_general():
+    # reference tests/test_intersect.py:549-582 semantics: half-area
+    # overlap ⇒ proportion 0.5
+    subject = [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 5.0], [0.0, 5.0]])]  # 20 m2
+    clip = [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 2.5], [0.0, 2.5]])]
+    a = G.poly_poly_area(subject, clip)
+    assert abs(a - 10.0) < 1e-9
+    # concave clip
+    a2 = G.poly_poly_area(SQUARE, LPOLY)
+    assert abs(a2 - 64.0) < 1e-9
+    # holes via inclusion-exclusion
+    a3 = G.poly_poly_area(SQUARE, HOLED)
+    assert abs(a3 - 96.0) < 1e-9
+
+
+def test_point_segment_dist():
+    d = G.point_segment_dist([0, 5, 10], [1, 1, 1], [0, 0, 0], [0, 0, 0], [10, 10, 10], [0, 0, 0])
+    assert np.allclose(d, [1, 1, 1])
+    d2 = G.point_segment_dist([-3], [4], [0], [0], [10], [0])
+    assert np.allclose(d2, [5.0])
+
+
+def test_polyline_midpoint():
+    x, y = G.polyline_midpoint(np.array([[0.0, 0.0], [10.0, 0.0]]))
+    assert (x, y) == (5.0, 0.0)
+    x, y = G.polyline_midpoint(np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0]]))
+    assert (x, y) == (4.0, 0.0)
+
+
+def test_polygon_label_point_inside():
+    for poly in (SQUARE, LPOLY, HOLED):
+        x, y = G.polygon_label_point(poly)
+        assert G.point_in_polygon([x], [y], poly)[0]
+
+
+def test_wkb_roundtrip():
+    line = np.array([[0.0, 1.0], [2.0, 3.0], [4.0, 5.0]])
+    kind, data = G.parse_wkb(G.wkb_linestring(line))
+    assert kind == "linestring" and np.allclose(data, line)
+
+    kind, data = G.parse_wkb(G.wkb_point(1.5, -2.5))
+    assert kind == "point" and data == (1.5, -2.5)
+
+    kind, rings = G.parse_wkb(G.wkb_polygon(HOLED))
+    assert kind == "polygon" and len(rings) == 2
+    assert np.allclose(rings[0][:-1], HOLED[0])
+
+    kind, parts = G.parse_wkb(G.wkb_multilinestring([line, line + 1]))
+    assert kind == "multilinestring" and len(parts) == 2
+
+    kind, polys = G.parse_wkb(G.wkb_multipolygon([SQUARE, LPOLY]))
+    assert kind == "multipolygon" and len(polys) == 2
+    assert G.geometry_polygons(G.wkb_polygon(SQUARE))[0][0].shape[1] == 2
