@@ -314,6 +314,49 @@ def clip_poly_general(subject_rings, clip_rings) -> list[np.ndarray]:
     return pieces
 
 
+def segments_intersect_rect(ring: np.ndarray, x0, y0, x1, y1) -> bool:
+    """True if any segment of ``ring`` intersects rect [x0,x1]×[y0,y1]
+    (vectorized Liang–Barsky clip test over all segments)."""
+    r = ring_close(ring)
+    ax, ay = r[:-1, 0], r[:-1, 1]
+    bx, by = r[1:, 0], r[1:, 1]
+    dx, dy = bx - ax, by - ay
+    t0 = np.zeros(len(ax))
+    t1 = np.ones(len(ax))
+    ok = np.ones(len(ax), dtype=bool)
+    for p, q in (
+        (-dx, ax - x0),
+        (dx, x1 - ax),
+        (-dy, ay - y0),
+        (dy, y1 - ay),
+    ):
+        zero = p == 0
+        ok &= ~(zero & (q < 0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = q / np.where(zero, 1.0, p)
+        ent = (~zero) & (p < 0)
+        ext = (~zero) & (p > 0)
+        t0 = np.where(ent, np.maximum(t0, np.where(ent, t, t0)), t0)
+        t1 = np.where(ext, np.minimum(t1, np.where(ext, t, t1)), t1)
+    return bool(np.any(ok & (t0 <= t1)))
+
+
+def rect_fully_inside(x0, y0, x1, y1, rings) -> bool:
+    """Conservative 'cell rectangle fully inside polygon' test: all four
+    corners strictly inside and no ring segment crosses the rectangle.
+    The cell-level generalization of the reference's contained/crossing
+    split (intersect.py:495-513) — fully-inside cells skip the exact
+    per-point test entirely."""
+    cx = np.array([x0, x1, x1, x0])
+    cy = np.array([y0, y0, y1, y1])
+    if not bool(point_in_polygon(cx, cy, rings).all()):
+        return False
+    for ring in rings:
+        if segments_intersect_rect(ring, x0, y0, x1, y1):
+            return False
+    return True
+
+
 # ---------------------------------------------------------------------------
 # distances / representative points
 

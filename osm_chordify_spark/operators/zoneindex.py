@@ -1,0 +1,185 @@
+"""Broadcast cell → zone-candidate index.
+
+The Spark-first replacement for the reference's GeoPandas R-tree
+(reference: src/osm_chordify/osm/intersect.py:471, :735 — sindex
+candidate queries inside sjoin).  Zones are small relative to the fact
+side (the reference's county fast-path gate assumes ≤100 polygons,
+intersect.py:440-444), so we precompute, driver-side, a flat NumPy index
+mapping every covering cell at a fixed resolution to its candidate zone
+ids — with a *full* flag for cells entirely inside one zone (the
+containment fast path, intersect.py:703-733: such rows skip the exact
+geometry test).  The index is broadcast to executors and probed inside
+Arrow-batched pandas UDFs: the spatial join becomes a map-side
+broadcast lookup with NO shuffle at all.
+
+Scale notes: at 1000 executors the index is shipped once per executor
+(torrent broadcast); probe cost is a binary search per point.  Hot
+cells (dense urban areas) cost nothing here — skew only matters for
+the *output* distribution, which downstream groupBys handle via AQE.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from osm_chordify_spark import cellindex as ci
+from osm_chordify_spark import geom as G
+
+
+@dataclass
+class ZoneIndex:
+    """Flat searchable cell→candidates map (NumPy, pickle-friendly)."""
+
+    res: int
+    world: tuple
+    # sorted unique covering cells + CSR-style offsets into candidates
+    cells: np.ndarray  # int64, sorted
+    offsets: np.ndarray  # int64, len(cells)+1
+    cand_zone: np.ndarray  # int32 zone ordinal per candidate entry
+    cand_full: np.ndarray  # bool per candidate entry
+    zone_ids: list  # ordinal → user zone id
+    zone_rings: list = field(repr=False)  # ordinal → list[rings]
+
+    @staticmethod
+    def build(zones, res: int = 9, world=ci.WORLD, max_cells_per_zone: int = 4096):
+        """zones: iterable of (zone_id, rings) where rings is
+        [outer, hole, ...] NumPy arrays, or (zone_id, wkb bytes).
+
+        The effective resolution is coarsened until every zone's bbox
+        cover fits ``max_cells_per_zone`` (the over-cover guard)."""
+        parsed = []
+        for zid, geom_ in zones:
+            if isinstance(geom_, (bytes, bytearray)):
+                polys = G.geometry_polygons(bytes(geom_))
+            else:
+                polys = [geom_]
+            parsed.append((zid, polys))
+
+        eff_res = res
+        for _zid, polys in parsed:
+            for rings in polys:
+                x0, y0, x1, y1 = G.polygon_bbox(rings)
+                r, _ = ci.pick_cover_res(
+                    x0, y0, x1, y1, eff_res, world, max_cells_per_zone
+                )
+                eff_res = min(eff_res, r)
+
+        cell_list, zone_list, full_list = [], [], []
+        zone_ids, zone_rings = [], []
+        for ordinal, (zid, polys) in enumerate(parsed):
+            zone_ids.append(zid)
+            zone_rings.append(polys)
+            seen = {}
+            for rings in polys:
+                x0, y0, x1, y1 = G.polygon_bbox(rings)
+                cover = ci.cover_bbox(
+                    x0, y0, x1, y1, eff_res, world, max_cells=max_cells_per_zone
+                )
+                bx0, by0, bx1, by1 = ci.cell_bounds(cover, world)
+                for k in range(len(cover)):
+                    # drop cells whose rect misses the polygon entirely
+                    full = G.rect_fully_inside(bx0[k], by0[k], bx1[k], by1[k], rings)
+                    if not full:
+                        # keep if the rect plausibly intersects: any corner
+                        # inside, any ring vertex inside, or any edge crossing
+                        corners_in = G.point_in_polygon(
+                            np.array([bx0[k], bx1[k], bx1[k], bx0[k]]),
+                            np.array([by0[k], by0[k], by1[k], by1[k]]),
+                            rings,
+                        ).any()
+                        crossing = any(
+                            G.segments_intersect_rect(rg, bx0[k], by0[k], bx1[k], by1[k])
+                            for rg in rings
+                        )
+                        if not (corners_in or crossing):
+                            continue
+                    c = int(cover[k])
+                    seen[c] = bool(seen.get(c, False) or full)
+            for c, full in seen.items():
+                cell_list.append(c)
+                zone_list.append(ordinal)
+                full_list.append(full)
+
+        cell_arr = np.asarray(cell_list, dtype=np.int64)
+        order = np.argsort(cell_arr, kind="stable")
+        cell_arr = cell_arr[order]
+        zone_arr = np.asarray(zone_list, dtype=np.int32)[order]
+        full_arr = np.asarray(full_list, dtype=bool)[order]
+        uniq, start = np.unique(cell_arr, return_index=True)
+        offsets = np.append(start, len(cell_arr)).astype(np.int64)
+        return ZoneIndex(
+            res=eff_res,
+            world=world,
+            cells=uniq,
+            offsets=offsets,
+            cand_zone=zone_arr,
+            cand_full=full_arr,
+            zone_ids=zone_ids,
+            zone_rings=zone_rings,
+        )
+
+    # -- probes ------------------------------------------------------------
+
+    def candidates_for_points(self, x: np.ndarray, y: np.ndarray):
+        """Vectorized: point arrays → (point_idx, zone_ordinal, needs_exact)
+        candidate triples as flat arrays."""
+        pc = ci.cell_at(x, y, self.res, self.world)
+        pos = np.searchsorted(self.cells, pc)
+        pos = np.clip(pos, 0, len(self.cells) - 1) if len(self.cells) else pos
+        hit = len(self.cells) > 0
+        valid = hit & (self.cells[pos] == pc) if hit else np.zeros(len(pc), bool)
+        pts, zones, needs = [], [], []
+        idx = np.nonzero(valid)[0]
+        for i in idx:
+            s, e = self.offsets[pos[i]], self.offsets[pos[i] + 1]
+            for j in range(s, e):
+                pts.append(i)
+                zones.append(self.cand_zone[j])
+                needs.append(not self.cand_full[j])
+        return (
+            np.asarray(pts, dtype=np.int64),
+            np.asarray(zones, dtype=np.int32),
+            np.asarray(needs, dtype=bool),
+        )
+
+    def assign_points(self, x: np.ndarray, y: np.ndarray):
+        """Point-in-polygon assignment (possibly multiple zones per point).
+
+        Returns (point_idx, zone_ordinal) pairs after exact winding-number
+        refinement of partial cells.  Fully-inside cells skip the exact
+        test (the reference's proportion=1.0 fast path, intersect.py:703-733)."""
+        pts, zones, needs = self.candidates_for_points(x, y)
+        if len(pts) == 0:
+            return pts, zones
+        keep = np.ones(len(pts), dtype=bool)
+        exact_idx = np.nonzero(needs)[0]
+        # group exact tests by zone ordinal → one vectorized PIP per zone
+        for z in np.unique(zones[exact_idx]):
+            sel = exact_idx[zones[exact_idx] == z]
+            px, py = x[pts[sel]], y[pts[sel]]
+            inside = np.zeros(len(sel), dtype=bool)
+            for rings in self.zone_rings[z]:
+                inside |= G.point_in_polygon(px, py, rings)
+            keep[sel] = inside
+        return pts[keep], zones[keep]
+
+    def candidates_for_cells(self, cells: np.ndarray):
+        """cells (already at self.res) → (cell_pos_idx, zone_ordinal, full)."""
+        pos = np.searchsorted(self.cells, cells)
+        pos = np.clip(pos, 0, max(len(self.cells) - 1, 0))
+        valid = (
+            (self.cells[pos] == cells) if len(self.cells) else np.zeros(len(cells), bool)
+        )
+        out_i, out_z, out_f = [], [], []
+        for i in np.nonzero(valid)[0]:
+            s, e = self.offsets[pos[i]], self.offsets[pos[i] + 1]
+            out_i.extend([i] * (e - s))
+            out_z.extend(self.cand_zone[s:e].tolist())
+            out_f.extend(self.cand_full[s:e].tolist())
+        return (
+            np.asarray(out_i, dtype=np.int64),
+            np.asarray(out_z, dtype=np.int32),
+            np.asarray(out_f, dtype=bool),
+        )

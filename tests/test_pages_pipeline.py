@@ -1,0 +1,93 @@
+"""End-to-end flagship pipeline tests at sf0.001 (500 documents)."""
+
+import numpy as np
+
+from osm_chordify_spark.operators import pages as P
+from osm_chordify_spark.operators.zoneindex import ZoneIndex
+from tests.conftest import SF_SMOKE
+
+
+def test_synthesize_deterministic(spark):
+    a = P.synthesize_pages(spark, SF_SMOKE).orderBy("doc_id").limit(5).collect()
+    b = P.synthesize_pages(spark, SF_SMOKE).orderBy("doc_id").limit(5).collect()
+    assert [r.html for r in a] == [r.html for r in b]
+    assert all(r.url.endswith(str(r.doc_id)) for r in a)
+
+
+def test_text_extraction_byte_identical(spark):
+    pages = P.with_extracted_text(P.synthesize_pages(spark, SF_SMOKE))
+    mismatches = pages.filter("extracted_text <> text").count()
+    assert mismatches == 0
+    total = pages.count()
+    assert total == 500
+
+
+def test_geo_anchor_roundtrip_exact(spark):
+    """Parsed lat/lon must equal the arithmetic derivation bit-for-bit."""
+    pages = P.with_geo_anchors(P.synthesize_pages(spark, SF_SMOKE))
+    recomputed = pages.withColumn("lon2", P.lon_col()).withColumn("lat2", P.lat_col())
+    bad = recomputed.filter("lon <> lon2 OR lat <> lat2").count()
+    assert bad == 0
+
+
+def test_cells_match_numpy(spark):
+    from osm_chordify_spark import cellindex as ci
+
+    pages = P.with_cells(P.with_geo_anchors(P.synthesize_pages(spark, SF_SMOKE)))
+    pdf = pages.select("doc_id", "lon", "lat", "cell_r7", "cell_r10").toPandas()
+    np_c7 = ci.cell_at(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 7)
+    np_c10 = ci.cell_at(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 10)
+    assert (np_c7 == pdf["cell_r7"].to_numpy()).all()
+    assert (np_c10 == pdf["cell_r10"].to_numpy()).all()
+
+
+def test_zone_index_full_and_partial_cells():
+    zones = P.make_zone_grid()
+    idx = ZoneIndex.build(zones, res=7)
+    assert idx.res <= 7
+    # hot-box point (inside Z0_0? lat 37 → row floor((37-20)/20)=0, lon -122 → col 0)
+    pts, zs = idx.assign_points(np.array([-122.005]), np.array([37.005]))
+    assert len(pts) == 1 and idx.zone_ids[zs[0]] == "Z0_0"
+    # far outside the grid
+    pts, zs = idx.assign_points(np.array([150.0]), np.array([-80.0]))
+    assert len(pts) == 0
+    # interior-cell fast path exists: some candidates are 'full'
+    assert idx.cand_full.any() and (~idx.cand_full).any()
+
+
+def test_pip_matches_arithmetic_oracle(spark, duck):
+    out = P.pages_pipeline(spark, SF_SMOKE).select("url", "zone_id").toPandas()
+    oracle = duck.execute(
+        f"""
+        with coords as (
+          select 'https://example.org/page/' || doc_id as url,
+                 {P.LON_SQL} as lon, {P.LAT_SQL} as lat
+          from documents
+        )
+        select url, {P.ZONE_SQL} as zone_id from coords
+        where lon >= -130 and lon < -10 and lat >= 20 and lat < 80
+        """
+    ).df()
+    a = sorted(map(tuple, out[["url", "zone_id"]].itertuples(index=False)))
+    b = sorted(map(tuple, oracle[["url", "zone_id"]].itertuples(index=False)))
+    assert len(a) == 500  # every synthetic point lands in the grid
+    assert a == b
+
+
+def test_pip_left_join_keeps_unmatched(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2], "lon": [-122.0, 170.0], "lat": [37.0, 0.0]})
+    )
+    out = P.pip_assign(df, res=7, how="left").toPandas().sort_values("pid")
+    assert out.loc[out.pid == 1, "zone_id"].iloc[0] == "Z0_0"
+    assert out.loc[out.pid == 2, "zone_id"].isna().all()
+    inner = P.pip_assign(df, res=7, how="inner").toPandas()
+    assert set(inner.pid) == {1}
+
+
+def test_text_match_flag_all_true(spark):
+    out = P.pages_pipeline(spark, SF_SMOKE)
+    assert out.filter("NOT text_match").count() == 0
