@@ -202,6 +202,84 @@ def pip_assign(
     return df.mapInPandas(assign, schema=out_schema)
 
 
+def with_extracted_text_arrow(
+    pages: DataFrame, out_col: str = "extracted_text"
+) -> DataFrame:
+    """Arrow-native text extraction (mapInArrow): no pandas object-array
+    round-trip — pyarrow compute kernels split on the embedded markers.
+    Semantics identical to with_extracted_text (byte-identical contract)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    fields = list(pages.schema.fields)
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(fields + [StructField(out_col, StringType(), True)])
+
+    def extract(batches):
+        for batch in batches:
+            html = pc.cast(batch.column("html"), pa.string())
+            tail = pc.list_element(pc.split_pattern(html, "<p data-main>", max_splits=1), 1)
+            text = pc.list_element(pc.split_pattern(tail, "</p>", max_splits=1), 0)
+            arrays = [batch.column(f.name) for f in fields] + [text]
+            yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(
+                [batch.schema.field(f.name) for f in fields] + [pa.field(out_col, pa.string())]
+            ))
+
+    return pages.mapInArrow(extract, schema=out_schema)
+
+
+def pip_assign_arrow(
+    df: DataFrame,
+    zones=None,
+    res: int = 7,
+    how: str = "inner",
+    point_cols=("lon", "lat"),
+    zone_col: str = "zone_id",
+) -> DataFrame:
+    """Arrow-native PIP join (mapInArrow): lon/lat come out of Arrow as
+    zero-copy NumPy, matched rows are gathered with Table.take — no
+    pandas materialization of string columns."""
+    import pyarrow as pa
+
+    zones = zones if zones is not None else make_zone_grid()
+    index = ZoneIndex.build(zones, res=res)
+    spark = df.sparkSession
+    bidx = spark.sparkContext.broadcast(index)
+    lon_c, lat_c = point_cols
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(zone_col, StringType(), True)]
+    )
+
+    def assign(batches):
+        idx = bidx.value
+        zone_ids = np.asarray(idx.zone_ids, dtype=object)
+        for batch in batches:
+            x = batch.column(lon_c).to_numpy(zero_copy_only=False)
+            y = batch.column(lat_c).to_numpy(zero_copy_only=False)
+            pts, zs = idx.assign_points(x, y)
+            tbl = pa.Table.from_batches([batch])
+            matched = tbl.take(pa.array(pts))
+            zcol = pa.array(zone_ids[zs] if len(zs) else [], type=pa.string())
+            matched = matched.append_column(zone_col, zcol)
+            if how == "left":
+                um_mask = np.ones(len(batch), dtype=bool)
+                um_mask[pts] = False
+                um = tbl.take(pa.array(np.nonzero(um_mask)[0]))
+                um = um.append_column(
+                    zone_col, pa.nulls(len(um), type=pa.string())
+                )
+                matched = pa.concat_tables([matched, um])
+            for out in matched.to_batches():
+                yield out
+
+    return df.mapInArrow(assign, schema=out_schema)
+
+
 def pages_pipeline(spark: SparkSession, sf_dir: str, how: str = "inner") -> DataFrame:
     """Full flagship pipeline: synthesize → extract → parse → tile → PIP."""
     pages = synthesize_pages(spark, sf_dir)
