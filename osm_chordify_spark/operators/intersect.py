@@ -1,0 +1,575 @@
+"""Zone-intersection operators — the reference's flagship API, Spark-first.
+
+Reimplements the semantics of ``intersect_road_network_with_zones``
+(reference: src/osm_chordify/osm/intersect.py:586-884),
+``intersect_road_polygons_with_zones`` (:961-1230),
+``intersect_zones_with_zones`` (:1557-1611 overlay variant and
+:1233-1494 cascade variant), and ``spatial_left_join_with_zones``
+(:1497-1554) as single-pass map-side DataFrame transforms:
+
+* zones (small side — the reference's county gate assumes ≤100 polygons,
+  intersect.py:440-444) become a broadcast cell→candidate index;
+* the fact side (edges/pages) is scanned once inside an Arrow-batched
+  pandas UDF: per row, covering cells → candidate zones → exact
+  Shapely-free geometry kernels; **no shuffle anywhere** — Catalyst
+  sees Scan → MapInPandas → (optional union for void rows);
+* the contained fast path (reference intersect.py:703-733: proportion
+  1.0 without exact clipping) generalizes to "every covering cell of
+  the edge is a fully-inside cell of the zone".
+
+Output contracts reproduced exactly (the row-for-row parity surface):
+* metric columns and label prefixes per _line/_polygon/_cascade metric
+  names (reference intersect.py:256-306);
+* edge/zone attribute prefixing with collision avoidance
+  (reference intersect.py:219-249: ``zone_X`` → ``zone2_X`` → ...);
+* rounding: lengths/areas 2 dp; proportion computed FROM the rounded
+  values, then 4 dp (reference intersect.py:428-435);
+* zero-length/degenerate intersections are dropped — boundary touches
+  produce no row (reference intersect.py:415-417, LINE_GEOMETRY_TYPES);
+* void rows: bbox-prefiltered zones with no pieces yield one row each
+  with NULL metrics and zone attrs (reference intersect.py:347-382).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    StructField,
+    StructType,
+)
+
+from osm_chordify_spark import cellindex as ci
+from osm_chordify_spark import geom as G
+from osm_chordify_spark.operators.zoneindex import ZoneIndex
+
+# -- metric / column naming contracts ---------------------------------------
+
+_RESERVED_METRICS = {
+    "zone_edge_proportion",
+    "edge_link_length_m",
+    "zone_link_length_m",
+    "edge_surface_m2",
+    "zone_surface_m2",
+    "zone_piece_proportion",
+    "piece_link_length_m",
+    "zone_piece_length_m",
+    "piece_surface_m2",
+}
+
+
+def edge_output_name(col: str) -> str:
+    """Edge attr output name; already-prefixed names pass through
+    (reference intersect.py:219-233)."""
+    if col.startswith(("edge_", "zone_")) or col in _RESERVED_METRICS:
+        return col
+    return f"edge_{col}"
+
+
+def zone_output_name(col: str, existing: set, prefix: str = "zone") -> str:
+    """Zone attr output name with collision bumping zone_X → zone2_X →
+    zone3_X … (reference intersect.py:236-249)."""
+    if prefix not in {None, "", "zone"} and col.startswith(f"{prefix}_") and col not in existing:
+        return col
+    cand = f"{prefix}_{col}"
+    if cand not in existing:
+        return cand
+    cand = f"{prefix}2_{col}"
+    if cand not in existing:
+        return cand
+    n = 3
+    while f"{prefix}{n}_{col}" in existing:
+        n += 1
+    return f"{prefix}{n}_{col}"
+
+
+def _label(zone_label):
+    return zone_label.strip().lower() if zone_label else None
+
+
+def line_metric_names(zone_label=None) -> dict:
+    p = _label(zone_label)
+    if p is None:
+        return {
+            "proportion": "zone_edge_proportion",
+            "edge_length": "edge_link_length_m",
+            "zone_length": "zone_link_length_m",
+        }
+    return {
+        "proportion": f"{p}_zone_edge_proportion",
+        "edge_length": f"{p}_edge_link_length_m",
+        "zone_length": f"{p}_zone_link_length_m",
+    }
+
+
+def polygon_metric_names(zone_label=None) -> dict:
+    p = _label(zone_label)
+    base = line_metric_names(zone_label)
+    base["edge_surface"] = "edge_surface_m2" if p is None else f"{p}_edge_surface_m2"
+    base["zone_surface"] = "zone_surface_m2" if p is None else f"{p}_zone_surface_m2"
+    return base
+
+
+def cascade_metric_names(zone_label=None) -> dict:
+    p = _label(zone_label)
+    if p is None:
+        return {
+            "proportion": "zone_piece_proportion",
+            "piece_length": "piece_link_length_m",
+            "zone_length": "zone_piece_length_m",
+            "piece_surface": "piece_surface_m2",
+            "zone_surface": "zone_surface_m2",
+        }
+    return {
+        "proportion": f"{p}_zone_piece_proportion",
+        "piece_length": f"{p}_piece_link_length_m",
+        "zone_length": f"{p}_zone_piece_length_m",
+        "piece_surface": f"{p}_piece_surface_m2",
+        "zone_surface": f"{p}_zone_surface_m2",
+    }
+
+
+# -- zones: local representation ---------------------------------------------
+
+
+class Zones:
+    """Small polygon table held driver-side and broadcast.
+
+    attrs: pandas DataFrame (one row per zone, no geometry column);
+    geoms: list of multipolygon ring-lists aligned with attrs rows."""
+
+    def __init__(self, attrs: pd.DataFrame, geoms: list):
+        assert len(attrs) == len(geoms)
+        self.attrs = attrs.reset_index(drop=True)
+        self.geoms = geoms
+
+    @staticmethod
+    def from_records(records, geometry_key="geometry"):
+        """records: iterable of dicts with WKB bytes or ring-lists under
+        ``geometry_key`` plus arbitrary attribute keys."""
+        rows, geoms = [], []
+        for rec in records:
+            rec = dict(rec)
+            g = rec.pop(geometry_key)
+            if isinstance(g, (bytes, bytearray)):
+                geoms.append(G.geometry_polygons(bytes(g)))
+            elif isinstance(g, list) and g and isinstance(g[0], list):
+                geoms.append(g)  # already [rings, rings, ...]
+            else:
+                geoms.append([g])  # single polygon rings
+            rows.append(rec)
+        return Zones(pd.DataFrame(rows), geoms)
+
+    def index(self, res: int = 9) -> ZoneIndex:
+        return ZoneIndex.build(
+            [(i, polys) for i, polys in enumerate(self.geoms)], res=res
+        )
+
+    def bbox_filter(self, bounds) -> np.ndarray:
+        """Ordinals of zones whose bbox intersects ``bounds`` — the
+        pre-join zone prefilter (reference intersect.py:447-486)."""
+        x0, y0, x1, y1 = bounds
+        keep = []
+        for i, polys in enumerate(self.geoms):
+            for rings in polys:
+                bx0, by0, bx1, by1 = G.polygon_bbox(rings)
+                if bx0 <= x1 and bx1 >= x0 and by0 <= y1 and by1 >= y0:
+                    keep.append(i)
+                    break
+        return np.asarray(keep, dtype=np.int64)
+
+
+# -- schema assembly ----------------------------------------------------------
+
+
+def _result_schema(edges_schema, zones: Zones, metric_names, zone_label,
+                   keep_geometry, extra_metrics=()):
+    edge_attr_cols = [f.name for f in edges_schema.fields if f.name != "geometry"]
+    cols: list[StructField] = []
+    ordered = [metric_names["proportion"], metric_names["edge_length"],
+               metric_names["zone_length"], *extra_metrics]
+    for m in ordered:
+        cols.append(StructField(m, DoubleType(), True))
+    if keep_geometry:
+        cols.append(StructField("geometry", BinaryType(), True))
+    existing = {c.name for c in cols}
+    edge_renames = {}
+    for f in edges_schema.fields:
+        if f.name == "geometry":
+            continue
+        out = edge_output_name(f.name)
+        edge_renames[f.name] = out
+        if out not in existing:
+            cols.append(StructField(out, f.dataType, True))
+            existing.add(out)
+    zone_renames = {}
+    from pyspark.sql.pandas.types import from_arrow_type
+    import pyarrow as pa
+
+    for cname in zones.attrs.columns:
+        out = zone_output_name(cname, existing, prefix=_label(zone_label) or "zone")
+        zone_renames[cname] = out
+        pa_type = pa.Schema.from_pandas(zones.attrs[[cname]]).field(0).type
+        cols.append(StructField(out, from_arrow_type(pa_type), True))
+        existing.add(out)
+    return StructType(cols), edge_renames, zone_renames, edge_attr_cols
+
+
+# -- the line × polygon operator ----------------------------------------------
+
+
+def intersect_lines_with_zones(
+    edges: DataFrame,
+    zones: Zones,
+    *,
+    zone_label: str | None = None,
+    include_void_zones: bool = False,
+    index_res: int = 9,
+    keep_geometry: bool = True,
+) -> DataFrame:
+    """Exact line∩polygon join with proportional length metrics.
+
+    One output row per (edge, zone) pair with nonempty 1-D intersection;
+    metrics per the reference contract (intersect.py:406-437)."""
+    metric_names = line_metric_names(zone_label)
+    schema, edge_renames, zone_renames, edge_attr_cols = _result_schema(
+        edges.schema, zones, metric_names, zone_label, keep_geometry
+    )
+    spark = edges.sparkSession
+    index = zones.index(res=index_res)
+    b_index = spark.sparkContext.broadcast(index)
+    b_attrs = spark.sparkContext.broadcast(zones.attrs)
+    b_geoms = spark.sparkContext.broadcast(zones.geoms)
+    mp, me, mz = (
+        metric_names["proportion"],
+        metric_names["edge_length"],
+        metric_names["zone_length"],
+    )
+
+    def compute(batches):
+        idx: ZoneIndex = b_index.value
+        zattrs: pd.DataFrame = b_attrs.value
+        zgeoms = b_geoms.value
+        for pdf in batches:
+            out_rows = []
+            geoms = pdf["geometry"].tolist()
+            for r in range(len(pdf)):
+                lines = G.geometry_lines(bytes(geoms[r]))
+                # covering cells of the whole edge at index res
+                xs = np.concatenate([ln[:, 0] for ln in lines])
+                ys = np.concatenate([ln[:, 1] for ln in lines])
+                cover = ci.cover_bbox(
+                    xs.min(), ys.min(), xs.max(), ys.max(), idx.res,
+                    idx.world, max_cells=1 << 20,
+                )
+                ci_idx, zcand, full = idx.candidates_for_cells(np.sort(cover))
+                if len(zcand) == 0:
+                    continue
+                edge_len = round(sum(G.polyline_length(ln) for ln in lines), 2)
+                n_cells = len(cover)
+                for z in np.unique(zcand):
+                    zmask = zcand == z
+                    contained = full[zmask].all() and zmask.sum() == n_cells
+                    if contained:
+                        # fast path (reference intersect.py:703-733)
+                        zone_len = edge_len
+                        prop = 1.0 if edge_len > 0 else 0.0
+                        pieces = lines
+                    else:
+                        pieces, total = [], 0.0
+                        for rings in zgeoms[z]:
+                            for ln in lines:
+                                p, ln_in = G.clip_line_polygon(ln, rings)
+                                pieces.extend(p)
+                                total += ln_in
+                        zone_len = round(total, 2)
+                        if zone_len <= 0:
+                            continue  # boundary touch / no overlap
+                        prop = round(zone_len / edge_len, 4) if edge_len > 0 else 0.0
+                    row = {mp: prop, me: edge_len, mz: zone_len}
+                    if keep_geometry:
+                        row["geometry"] = (
+                            G.wkb_linestring(pieces[0])
+                            if len(pieces) == 1
+                            else G.wkb_multilinestring(pieces)
+                        )
+                    for cname in edge_attr_cols:
+                        row[edge_renames[cname]] = pdf.iloc[r][cname]
+                    zrow = zattrs.iloc[int(z)]
+                    for cname in zattrs.columns:
+                        row[zone_renames[cname]] = zrow[cname]
+                    out_rows.append(row)
+            yield pd.DataFrame(out_rows, columns=[f.name for f in schema.fields])
+
+    result = edges.mapInPandas(compute, schema=schema)
+    if include_void_zones:
+        result = _append_void_rows(result, edges, zones, schema, zone_renames)
+    return result
+
+
+def _append_void_rows(result, edges, zones, schema, zone_renames):
+    """Union one NULL-metric row per bbox-kept zone with no pieces
+    (reference intersect.py:347-382 + :847-859).  The matched-zone set
+    is tiny (≤ #zones), so the collect here is a scalar-sized action."""
+    # edge bbox via a tiny pandas agg over WKB (batch-local min/max)
+    @F.pandas_udf("x0 double, y0 double, x1 double, y1 double")
+    def _bbox(geom: pd.Series) -> pd.DataFrame:
+        arr = np.array(
+            [G.bbox(np.vstack(G.geometry_lines(bytes(g)))) for g in geom]
+        )
+        return pd.DataFrame(
+            {"x0": arr[:, 0], "y0": arr[:, 1], "x1": arr[:, 2], "y1": arr[:, 3]}
+        )
+
+    bb = (
+        edges.select(_bbox("geometry").alias("b"))
+        .select("b.x0", "b.y0", "b.x1", "b.y1")
+        .agg(
+            F.min("x0").alias("x0"),
+            F.min("y0").alias("y0"),
+            F.max("x1").alias("x1"),
+            F.max("y1").alias("y1"),
+        )
+        .collect()[0]
+    )
+    kept = zones.bbox_filter((bb.x0, bb.y0, bb.x1, bb.y1))
+    # which kept zones actually matched?  zone attrs may not be unique, so
+    # match on the full renamed attr tuple of the first zone attr column —
+    # we instead recompute by ordinal: carry a probe on zone_renames of the
+    # first column when available, else skip void rows entirely.
+    zcols = [zone_renames[c] for c in zones.attrs.columns]
+    if not zcols:
+        return result
+    matched_attr_rows = {
+        tuple(r) for r in result.select(*zcols).distinct().collect()
+    }
+    void = []
+    for z in kept:
+        zrow = tuple(zones.attrs.iloc[int(z)][c] for c in zones.attrs.columns)
+        if zrow not in matched_attr_rows:
+            row = {name: None for name in [f.name for f in schema.fields]}
+            for cname, out in zone_renames.items():
+                row[out] = zones.attrs.iloc[int(z)][cname]
+            void.append(row)
+    if not void:
+        return result
+    void_pdf = pd.DataFrame(void, columns=[f.name for f in schema.fields])
+    void_df = result.sparkSession.createDataFrame(void_pdf, schema=schema)
+    return result.unionByName(void_df)
+
+
+# -- polygon × polygon (area-proportion) variants ------------------------------
+
+
+def intersect_polygons_with_zones(
+    polys: DataFrame,
+    zones: Zones,
+    *,
+    zone_label: str | None = None,
+    length_col: str | None = "edge_length",
+    index_res: int = 9,
+    keep_geometry: bool = True,
+    cascade: bool = False,
+) -> DataFrame:
+    """Polygon-subject variant: area-based proportions
+    (reference intersect.py:927-958 road-polygons; :1023-1054 cascade).
+
+    proportion = overlap_area / subject_area (0 when subject area 0);
+    zone length = length_col * proportion; surfaces rounded to 2 dp."""
+    metric_names = (
+        cascade_metric_names(zone_label) if cascade else polygon_metric_names(zone_label)
+    )
+    if cascade:
+        extra = (metric_names["piece_surface"], metric_names["zone_surface"])
+        mp, me, mz = (
+            metric_names["proportion"],
+            metric_names["piece_length"],
+            metric_names["zone_length"],
+        )
+        m_es, m_zs = metric_names["piece_surface"], metric_names["zone_surface"]
+        base_names = {
+            "proportion": mp, "edge_length": me, "zone_length": mz,
+        }
+    else:
+        extra = (metric_names["edge_surface"], metric_names["zone_surface"])
+        mp, me, mz = (
+            metric_names["proportion"],
+            metric_names["edge_length"],
+            metric_names["zone_length"],
+        )
+        m_es, m_zs = metric_names["edge_surface"], metric_names["zone_surface"]
+        base_names = metric_names
+    schema, edge_renames, zone_renames, edge_attr_cols = _result_schema(
+        polys.schema, zones, base_names, zone_label, keep_geometry, extra_metrics=extra
+    )
+    spark = polys.sparkSession
+    index = zones.index(res=index_res)
+    b_index = spark.sparkContext.broadcast(index)
+    b_attrs = spark.sparkContext.broadcast(zones.attrs)
+    b_geoms = spark.sparkContext.broadcast(zones.geoms)
+
+    def compute(batches):
+        idx: ZoneIndex = b_index.value
+        zattrs: pd.DataFrame = b_attrs.value
+        zgeoms = b_geoms.value
+        for pdf in batches:
+            out_rows = []
+            geoms = pdf["geometry"].tolist()
+            for r in range(len(pdf)):
+                subj_polys = G.geometry_polygons(bytes(geoms[r]))
+                x0 = min(G.polygon_bbox(p)[0] for p in subj_polys)
+                y0 = min(G.polygon_bbox(p)[1] for p in subj_polys)
+                x1 = max(G.polygon_bbox(p)[2] for p in subj_polys)
+                y1 = max(G.polygon_bbox(p)[3] for p in subj_polys)
+                cover = ci.cover_bbox(x0, y0, x1, y1, idx.res, idx.world,
+                                      max_cells=1 << 20)
+                _, zcand, full = idx.candidates_for_cells(np.sort(cover))
+                if len(zcand) == 0:
+                    continue
+                subj_area = round(sum(G.polygon_area(p) for p in subj_polys), 2)
+                full_len = (
+                    float(pdf.iloc[r][length_col])
+                    if length_col and length_col in pdf.columns
+                    else None
+                )
+                n_cells = len(cover)
+                for z in np.unique(zcand):
+                    zmask = zcand == z
+                    contained = full[zmask].all() and zmask.sum() == n_cells
+                    if contained:
+                        overlap = subj_area
+                        pieces_wkb = bytes(geoms[r])
+                    else:
+                        overlap = 0.0
+                        piece_rings = []
+                        for zrings in zgeoms[z]:
+                            for srings in subj_polys:
+                                overlap += G.poly_poly_area(srings, zrings)
+                                piece_rings.extend(G.clip_poly_general(srings, zrings))
+                        overlap = round(overlap, 2)
+                        if overlap <= 0:
+                            continue  # boundary touch: dropped
+                        if not piece_rings:
+                            pieces_wkb = None
+                        elif len(piece_rings) == 1:
+                            pieces_wkb = G.wkb_polygon([piece_rings[0]])
+                        else:
+                            pieces_wkb = G.wkb_multipolygon([[p] for p in piece_rings])
+                    prop = round(overlap / subj_area, 4) if subj_area > 0 else 0.0
+                    row = {
+                        mp: prop,
+                        me: full_len if full_len is not None else subj_area,
+                        mz: round(full_len * prop, 2) if full_len is not None else overlap,
+                        m_es: subj_area,
+                        m_zs: overlap,
+                    }
+                    if keep_geometry:
+                        row["geometry"] = pieces_wkb
+                    for cname in edge_attr_cols:
+                        row[edge_renames[cname]] = pdf.iloc[r][cname]
+                    zrow = zattrs.iloc[int(z)]
+                    for cname in zattrs.columns:
+                        row[zone_renames[cname]] = zrow[cname]
+                    out_rows.append(row)
+            yield pd.DataFrame(out_rows, columns=[f.name for f in schema.fields])
+
+    return polys.mapInPandas(compute, schema=schema)
+
+
+# -- spatial left join ----------------------------------------------------------
+
+
+def spatial_left_join_with_zones(
+    df: DataFrame,
+    zones: Zones,
+    *,
+    zone_label: str | None = None,
+    index_res: int = 9,
+    geometry_kind: str = "line",
+) -> DataFrame:
+    """Left spatial join: every input row kept; zone attrs appended
+    (NULL when unmatched); k matching zones ⇒ k rows
+    (reference intersect.py:1497-1554)."""
+    spark = df.sparkSession
+    index = zones.index(res=index_res)
+    b_index = spark.sparkContext.broadcast(index)
+    b_attrs = spark.sparkContext.broadcast(zones.attrs)
+    b_geoms = spark.sparkContext.broadcast(zones.geoms)
+
+    existing = set(df.columns)
+    zone_renames = {}
+    fields = list(df.schema.fields)
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    for cname in zones.attrs.columns:
+        out = zone_output_name(cname, existing, prefix=_label(zone_label) or "zone")
+        zone_renames[cname] = out
+        pa_type = pa.Schema.from_pandas(zones.attrs[[cname]]).field(0).type
+        fields.append(StructField(out, from_arrow_type(pa_type), True))
+        existing.add(out)
+    schema = StructType(fields)
+
+    def compute(batches):
+        idx: ZoneIndex = b_index.value
+        zattrs: pd.DataFrame = b_attrs.value
+        zgeoms = b_geoms.value
+        for pdf in batches:
+            out_rows = []
+            geoms = pdf["geometry"].tolist()
+            for r in range(len(pdf)):
+                if geometry_kind == "line":
+                    parts = G.geometry_lines(bytes(geoms[r]))
+                    xs = np.concatenate([p[:, 0] for p in parts])
+                    ys = np.concatenate([p[:, 1] for p in parts])
+                else:
+                    polys_ = G.geometry_polygons(bytes(geoms[r]))
+                    xs = np.concatenate([p[0][:, 0] for p in polys_])
+                    ys = np.concatenate([p[0][:, 1] for p in polys_])
+                cover = ci.cover_bbox(
+                    xs.min(), ys.min(), xs.max(), ys.max(), idx.res, idx.world,
+                    max_cells=1 << 20,
+                )
+                _, zcand, full = idx.candidates_for_cells(np.sort(cover))
+                hits = []
+                for z in np.unique(zcand):
+                    zmask = zcand == z
+                    if full[zmask].all() and zmask.sum() == len(cover):
+                        hits.append(z)
+                        continue
+                    touched = False
+                    for rings in zgeoms[z]:
+                        if geometry_kind == "line":
+                            for p in parts:
+                                if G.clip_line_polygon(p, rings)[1] > 0:
+                                    touched = True
+                                    break
+                        else:
+                            for srings in polys_:
+                                if G.poly_poly_area(srings, rings) > 0:
+                                    touched = True
+                                    break
+                        if touched:
+                            break
+                    if touched:
+                        hits.append(z)
+                base = pdf.iloc[r].to_dict()
+                if not hits:
+                    row = dict(base)
+                    for cname in zattrs.columns:
+                        row[zone_renames[cname]] = None
+                    out_rows.append(row)
+                else:
+                    for z in hits:
+                        row = dict(base)
+                        zrow = zattrs.iloc[int(z)]
+                        for cname in zattrs.columns:
+                            row[zone_renames[cname]] = zrow[cname]
+                        out_rows.append(row)
+            yield pd.DataFrame(out_rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(compute, schema=schema)

@@ -52,9 +52,13 @@ class ZoneIndex:
         parsed = []
         for zid, geom_ in zones:
             if isinstance(geom_, (bytes, bytearray)):
-                polys = G.geometry_polygons(bytes(geom_))
+                polys = G.geometry_polygons(bytes(geom_))  # wkb → [rings, ...]
+            elif isinstance(geom_, list) and geom_ and isinstance(geom_[0], list):
+                polys = geom_  # already a multipolygon: [[ring, ...], ...]
+            elif isinstance(geom_, list) and geom_ and getattr(geom_[0], "ndim", 0) == 2:
+                polys = [geom_]  # one polygon as a rings list
             else:
-                polys = [geom_]
+                polys = [[np.asarray(geom_, dtype=np.float64)]]  # bare ring
             parsed.append((zid, polys))
 
         eff_res = res

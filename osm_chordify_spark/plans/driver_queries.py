@@ -277,6 +277,179 @@ def event_type_top8(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# zone-intersection operators (SURVEY §2.3 J1/J2, §2.8 X1/X2)
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from osm_chordify_spark import geom as _G  # noqa: E402
+from osm_chordify_spark.operators import intersect as _I  # noqa: E402
+
+_RECT_ZONES = [
+    {"zone_id": "R0", "geometry": [np.array([[0.0, 0.0], [5.0, 0.0], [5.0, 10.0], [0.0, 10.0]])]},
+    {"zone_id": "R1", "geometry": [np.array([[5.0, 0.0], [10.0, 0.0], [10.0, 10.0], [5.0, 10.0]])]},
+]
+
+
+def _part_edges(spark, sf_dir):
+    """Deterministic horizontal 4-unit segments derived from part."""
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("osm_id"),
+        (F.expr("((p_partkey * 7) % 60) / 1e1")).alias("xs"),
+        (F.expr("((p_partkey * 13) % 95) / 1e1 + 25e-2")).alias("y"),
+    )
+
+    @F.pandas_udf("binary")
+    def mk_line(xs: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _G.wkb_linestring([[x, yy], [x + 4.0, yy]])
+                for x, yy in zip(xs, y)
+            ]
+        )
+
+    return part.select(
+        "osm_id",
+        F.lit(4.0).alias("edge_length"),
+        mk_line("xs", "y").alias("geometry"),
+    )
+
+
+@register(
+    "zone_intersect_lines",
+    oracle="""
+with edges as (
+  select p_partkey as osm_id,
+         ((p_partkey * 7) % 60) / 1e1 as xs,
+         ((p_partkey * 7) % 60) / 1e1 + 4e0 as xe
+  from part
+), pairs as (
+  select osm_id, 'R0' as zone_zone_id,
+         greatest(0e0, least(xe, 5e0) - greatest(xs, 0e0)) as ov from edges
+  union all
+  select osm_id, 'R1' as zone_zone_id,
+         greatest(0e0, least(xe, 1e1) - greatest(xs, 5e0)) as ov from edges
+)
+select osm_id as edge_osm_id, zone_zone_id,
+       cast(round(ov, 2) as double) as zone_link_length_m,
+       cast(4e0 as double) as edge_link_length_m,
+       cast(round(round(ov, 2) / 4e0, 4) as double) as zone_edge_proportion
+from pairs where ov > 0
+""",
+)
+def zone_intersect_lines(spark, sf_dir):
+    """intersect_road_network_with_zones semantics: exact line∩polygon
+    proportional length metrics via the broadcast cell index + clip
+    kernel (reference intersect.py:586-884)."""
+    edges = _part_edges(spark, sf_dir)
+    out = _I.intersect_lines_with_zones(
+        edges, _I.Zones.from_records(_RECT_ZONES), keep_geometry=False
+    )
+    return out.select(
+        "edge_osm_id",
+        "zone_zone_id",
+        "zone_link_length_m",
+        "edge_link_length_m",
+        "zone_edge_proportion",
+    )
+
+
+@register(
+    "zone_intersect_polygons",
+    oracle="""
+with subj as (
+  select s_suppkey as osm_id,
+         ((s_suppkey * 11) % 80) / 1e1 as xs,
+         ((s_suppkey * 13) % 75) / 1e1 + 25e-2 as ys
+  from supplier
+), pairs as (
+  select osm_id,  'R0' as zone_zone_id,
+         greatest(0e0, least(xs + 2e0, 5e0) - greatest(xs, 0e0))
+         * greatest(0e0, least(ys + 2e0, 1e1) - greatest(ys, 0e0)) as ov
+  from subj
+  union all
+  select osm_id, 'R1' as zone_zone_id,
+         greatest(0e0, least(xs + 2e0, 1e1) - greatest(xs, 5e0))
+         * greatest(0e0, least(ys + 2e0, 1e1) - greatest(ys, 0e0)) as ov
+  from subj
+)
+select osm_id as edge_osm_id, zone_zone_id,
+       cast(4e0 as double) as edge_surface_m2,
+       cast(round(ov, 2) as double) as zone_surface_m2,
+       cast(round(round(ov, 2) / 4e0, 4) as double) as zone_edge_proportion,
+       cast(round(8e0 * round(round(ov, 2) / 4e0, 4), 2) as double) as zone_link_length_m
+from pairs where ov > 0
+""",
+)
+def zone_intersect_polygons(spark, sf_dir):
+    """intersect_road_polygons_with_zones semantics: area-based
+    proportions + surfaces (reference intersect.py:961-1230)."""
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("osm_id"),
+        F.expr("((s_suppkey * 11) % 80) / 1e1").alias("xs"),
+        F.expr("((s_suppkey * 13) % 75) / 1e1 + 25e-2").alias("ys"),
+    )
+
+    @F.pandas_udf("binary")
+    def mk_rect(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _G.wkb_polygon(
+                    [[[x, y], [x + 2.0, y], [x + 2.0, y + 2.0], [x, y + 2.0]]]
+                )
+                for x, y in zip(xs, ys)
+            ]
+        )
+
+    polys = supp.select(
+        "osm_id", F.lit(8.0).alias("edge_length"), mk_rect("xs", "ys").alias("geometry")
+    )
+    out = _I.intersect_polygons_with_zones(
+        polys, _I.Zones.from_records(_RECT_ZONES), keep_geometry=False
+    )
+    return out.select(
+        "edge_osm_id",
+        "zone_zone_id",
+        "edge_surface_m2",
+        "zone_surface_m2",
+        "zone_edge_proportion",
+        "zone_link_length_m",
+    )
+
+
+@register(
+    "spatial_left_join",
+    oracle="""
+with edges as (
+  select p_partkey as osm_id,
+         ((p_partkey * 7) % 60) / 1e1 as xs,
+         ((p_partkey * 7) % 60) / 1e1 + 4e0 as xe,
+         ((p_partkey * 13) % 95) / 1e1 + 25e-2 as y
+  from part
+), hits as (
+  select osm_id, zone_zone_id from (
+    select osm_id, 'R0' as zone_zone_id,
+           greatest(0e0, least(xe, 5e0) - greatest(xs, 0e0)) as ov from edges
+    union all
+    select osm_id, 'R1' as zone_zone_id,
+           greatest(0e0, least(xe, 1e1) - greatest(xs, 5e0)) as ov from edges
+  ) where ov > 0
+)
+select e.osm_id, h.zone_zone_id
+from edges e left join hits h on e.osm_id = h.osm_id
+""",
+)
+def spatial_left_join(spark, sf_dir):
+    """spatial_left_join_with_zones: all rows kept, NULL zone attrs when
+    unmatched (reference intersect.py:1497-1554)."""
+    edges = _part_edges(spark, sf_dir)
+    out = _I.spatial_left_join_with_zones(
+        edges, _I.Zones.from_records(_RECT_ZONES)
+    )
+    return out.select("osm_id", "zone_zone_id")
+
+
 @register(
     "props_tag_extract",
     oracle="""
