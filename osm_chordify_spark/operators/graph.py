@@ -1,0 +1,471 @@
+"""Graph/dataflow operators — the "chordify" core as DataFrame programs.
+
+The reference holds the road network in a NetworkX MultiDiGraph and
+delegates to OSMnx (reference: src/osm_chordify/osm/graph.py:742-1006).
+Here the graph is always two DataFrames — nodes(node_id, x, y) and
+edges(u, v, key, attrs…, geometry) — and every graph algorithm is an
+iterative DataFrame program (the north_rule's "Spark graph contraction
+… not a NetworkX port"):
+
+* connected_components — min-label propagation + pointer doubling
+  (O(log n) rounds), used for weak components (reference
+  graph.py:987-1002) and for chordify chain grouping;
+* chordify — degree-2 node collapse (reference graph.py:922-962,
+  OSMnx simplify_graph): interstitial-node marking via degree/attr
+  aggregation, chain ids via connected components over the edge
+  adjacency, per-chain path ordering in applyInPandas, attribute
+  aggregation with functions/aggregates.py (A1–A9 semantics);
+* validate_topology — protected-self-loop split, isolate removal,
+  duplicate edge-id suffixing (reference graph.py:346-474);
+* consolidate_nodes — tolerance-radius node merge via close-pair cell
+  join + components (reference graph.py:908-915,
+  ox.consolidate_intersections);
+* largest_component retention (reference graph.py:987-1002).
+
+Scale: every round of the CC loop is two shuffles on (id) — at 1000
+executors the edges table stays partitioned by key; localCheckpoint
+truncates lineage each round so plans don't grow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm_chordify_spark import geom as G
+from osm_chordify_spark.functions.aggregates import chord_agg_exprs
+from osm_chordify_spark.functions.tags import is_truthy_osm_tag
+
+PROTECTED_HIGHWAY_TYPES = (
+    "motorway", "motorway_link", "trunk", "trunk_link", "primary", "primary_link",
+)  # reference graph.py:42-49
+
+
+# ---------------------------------------------------------------------------
+# connected components
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+) -> DataFrame:
+    """Undirected connected components → (id, component) where component
+    is the min vertex id of the component.
+
+    Min-label propagation with pointer doubling each round: O(log n)
+    rounds on path graphs (road chains are exactly that).  Each round is
+    a hash-partitioned self-join; lineage truncated via localCheckpoint."""
+    sym = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .union(sym.select(F.col("b").alias("id")))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nmin = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nl"))
+        )
+        stepped = (
+            labels.join(nmin, labels.id == nmin.a, "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        # pointer doubling: label ← min(label, label[label])
+        lk = stepped.select(
+            F.col("id").alias("lid"), F.col("label").alias("l2")
+        )
+        doubled = (
+            stepped.join(lk, stepped.label == lk.lid, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("l2"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            doubled.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = doubled
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# chordify (degree-2 contraction)
+
+
+def _edge_ids(edges: DataFrame) -> DataFrame:
+    """Stable synthetic edge identity from (u, v, key)."""
+    return edges.withColumn(
+        "__eid", F.xxhash64(F.col("u"), F.col("v"), F.col("key"))
+    )
+
+
+def interstitial_nodes(edges: DataFrame, edge_attrs_differ: list[str]) -> DataFrame:
+    """Nodes collapsible by simplification (OSMnx endpoint logic
+    inverted — reference graph.py:922-962 via ox.simplify_graph):
+    exactly 2 distinct neighbors, in-degree == out-degree ∈ {1, 2},
+    no incident self-loop, and all incident edges agree on
+    ``edge_attrs_differ``."""
+    non_loop = edges.filter(F.col("u") != F.col("v"))
+    outs = non_loop.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("out_deg"), F.collect_set("v").alias("out_nbrs")
+    )
+    ins = non_loop.groupBy(F.col("v").alias("node")).agg(
+        F.count("*").alias("in_deg"), F.collect_set("u").alias("in_nbrs")
+    )
+    loops = (
+        edges.filter(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("has_loop", F.lit(True))
+    )
+    attr_cols = [c for c in edge_attrs_differ if c in edges.columns]
+    incident = non_loop.select(
+        F.col("u").alias("node"), *[F.col(c) for c in attr_cols]
+    ).union(
+        non_loop.select(F.col("v").alias("node"), *[F.col(c) for c in attr_cols])
+    )
+    if attr_cols:
+        compat = incident.groupBy("node").agg(
+            F.countDistinct(F.struct(*[F.col(c) for c in attr_cols])).alias(
+                "n_attr_variants"
+            )
+        )
+    else:
+        compat = incident.select("node").distinct().withColumn(
+            "n_attr_variants", F.lit(1)
+        )
+    deg = (
+        outs.join(ins, "node", "inner")  # need both in and out edges
+        .join(loops, "node", "left")
+        .join(compat, "node", "left")
+    )
+    return deg.filter(
+        (F.size(F.array_distinct(F.concat("out_nbrs", "in_nbrs"))) == 2)
+        & (F.col("in_deg") == F.col("out_deg"))
+        & F.col("in_deg").isin(1, 2)
+        & F.col("has_loop").isNull()
+        & (F.coalesce(F.col("n_attr_variants"), F.lit(1)) <= 1)
+    ).select("node")
+
+
+def chordify(
+    edges: DataFrame,
+    edge_attrs_differ: list[str] = ("highway", "lanes", "maxspeed", "bridge",
+                                   "tunnel", "layer_role", "protected_backbone"),
+    track_merged: bool = True,
+) -> DataFrame:
+    """Collapse degree-2 paths into chord edges (reference
+    graph.py:922-962).  Returns an edges DataFrame of the same schema
+    (+ ``merged_osmids`` array when track_merged) where each maximal
+    chain through interstitial nodes is one edge with aggregated attrs
+    and concatenated geometry.
+
+    Plan shape: degree/compat aggs (2 shuffles) → edge-pair self-join →
+    connected components over pairs (log rounds) → applyInPandas path
+    ordering per chain → groupBy(chain).agg(A1–A9 exprs) → union with
+    untouched edges.  No driver-side iteration over rows ever."""
+    e = _edge_ids(edges)
+    inter = interstitial_nodes(edges, list(edge_attrs_differ)).withColumn(
+        "__collapsible", F.lit(True)
+    )
+
+    # consecutive-edge pairs through collapsible nodes (no U-turns)
+    e1 = e.select(F.col("__eid").alias("eid1"), F.col("u").alias("u1"), F.col("v").alias("v1"))
+    e2 = e.select(F.col("__eid").alias("eid2"), F.col("u").alias("u2"), F.col("v").alias("v2"))
+    pairs = (
+        e1.join(inter, e1.v1 == inter.node)
+        .join(e2, (F.col("v1") == F.col("u2")) & (F.col("v2") != F.col("u1")))
+        .select(F.col("eid1").alias("src"), F.col("eid2").alias("dst"))
+    )
+
+    comp = connected_components(pairs)  # (id=__eid, component=chain id)
+    chained = e.join(comp, e.__eid == comp.id, "left").drop("id")
+    untouched = chained.filter(F.col("component").isNull()).drop("component", "__eid")
+
+    chain_edges = chained.filter(F.col("component").isNotNull())
+    if chain_edges.isEmpty():
+        out = untouched
+        if track_merged:
+            out = out.withColumn(
+                "merged_osmids",
+                F.array(F.col("osmid")) if "osmid" in edges.columns else F.array(),
+            )
+        return out
+
+    # --- phase A: order each chain's edges along the path ------------------
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    base_fields = chain_edges.select("component", "__eid").schema.fields
+    order_schema = StructType(
+        list(base_fields) + [StructField("seq", IntegerType(), True)]
+    )
+
+    def order_chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_u: dict = {}
+        members = pdf.to_dict("records")
+        for m in members:
+            by_u.setdefault(m["u"], []).append(m)
+        vs = {m["v"] for m in members}
+        starts = [m for m in members if m["u"] not in vs]
+        cur = min(starts, key=lambda m: m["__eid"]) if starts else min(
+            members, key=lambda m: m["__eid"]
+        )  # ring chains: deterministic arbitrary start (remove_rings=False)
+        seq, out, seen = 0, [], set()
+        while cur is not None and id(cur) not in seen:
+            seen.add(id(cur))
+            out.append((cur["component"], cur["__eid"], seq))
+            seq += 1
+            nxt = None
+            for cand in by_u.get(cur["v"], []):
+                if id(cand) not in seen and cand["v"] != cur["u"]:
+                    nxt = cand
+                    break
+            if nxt is None:
+                for cand in by_u.get(cur["v"], []):
+                    if id(cand) not in seen:
+                        nxt = cand
+                        break
+            cur = nxt
+        # any unreached members (parallel chain direction grouped into the
+        # same component via shared nodes) get stable order after
+        remaining = [m for m in members if id(m) not in seen]
+        for m in sorted(remaining, key=lambda m: m["__eid"]):
+            out.append((m["component"], m["__eid"], seq))
+            seq += 1
+        return pd.DataFrame(out, columns=["component", "__eid", "seq"])
+
+    ordered = (
+        chain_edges.select("component", "__eid", "u", "v")
+        .groupBy("component")
+        .applyInPandas(order_chain, schema=order_schema)
+    )
+    chain_full = chain_edges.join(ordered, ["component", "__eid"])
+
+    # --- phase B: aggregate each chain into one chord edge -----------------
+    attr_cols = [
+        c for c in edges.columns if c not in ("u", "v", "key", "geometry", "osmid")
+    ]
+    from osm_chordify_spark.functions.aggregates import KNOWN_CHORD_AGG_COLS
+
+    aggs = [
+        F.min_by("u", "seq").alias("u"),
+        F.max_by("v", "seq").alias("v"),
+        F.lit(0).alias("key"),
+    ]
+    aggs += chord_agg_exprs(attr_cols, order_col="seq")
+    for c in attr_cols:
+        if c not in KNOWN_CHORD_AGG_COLS:
+            # unknown attrs: first value along the path
+            aggs.append(F.min_by(c, "seq").alias(c))
+    if "geometry" in edges.columns:
+        aggs.append(
+            F.sort_array(F.collect_list(F.struct("seq", "geometry"))).alias("__geoms")
+        )
+    if "osmid" in edges.columns:
+        aggs.append(F.sort_array(F.collect_list("osmid")).alias("merged_osmids"))
+
+    chords = chain_full.groupBy("component").agg(*aggs)
+
+    if "geometry" in edges.columns:
+
+        @F.pandas_udf("binary")
+        def concat_geoms(geoms: pd.Series) -> pd.Series:
+            out = []
+            for lst in geoms:
+                coords: list[np.ndarray] = []
+                for item in sorted(lst, key=lambda s: s["seq"]):
+                    for part in G.geometry_lines(bytes(item["geometry"])):
+                        if coords and np.allclose(coords[-1][-1], part[0]):
+                            coords.append(part[1:])
+                        elif not coords:
+                            coords.append(part)
+                        else:
+                            coords.append(part)
+                merged = np.vstack(coords) if coords else np.empty((0, 2))
+                out.append(G.wkb_linestring(merged))
+            return pd.Series(out)
+
+        chords = chords.withColumn("geometry", concat_geoms("__geoms")).drop("__geoms")
+
+    chords = chords.drop("component")
+    if "osmid" in edges.columns:
+        chords = chords.withColumn("osmid", F.element_at("merged_osmids", 1))
+        if track_merged:
+            untouched = untouched.withColumn("merged_osmids", F.array("osmid"))
+        else:
+            chords = chords.drop("merged_osmids")
+    sel_cols = untouched.columns
+    return untouched.unionByName(chords.select(*sel_cols))
+
+
+# ---------------------------------------------------------------------------
+# topology validation
+
+
+def edge_is_protected() -> F.Column:
+    """Protected-edge predicate (reference graph.py:194-205)."""
+    pb = F.coalesce(F.col("protected_backbone").cast("boolean"), F.lit(False))
+    lr = F.coalesce(F.col("layer_role") == "backbone", F.lit(False))
+    hw = F.coalesce(F.col("highway").isin(*PROTECTED_HIGHWAY_TYPES), F.lit(False))
+    br = F.coalesce(is_truthy_osm_tag(F.col("bridge")), F.lit(False))
+    tu = F.coalesce(is_truthy_osm_tag(F.col("tunnel")), F.lit(False))
+    return pb | lr | hw | br | tu
+
+
+def validate_topology(
+    nodes: DataFrame, edges: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Remove unprotected self-loops, remove isolated nodes, suffix
+    duplicate edge_ids (reference graph.py:346-474).  Raises ValueError
+    if the graph empties (reference's empty-graph contract)."""
+    for c in ("protected_backbone", "layer_role", "highway", "bridge", "tunnel"):
+        if c not in edges.columns:
+            edges = edges.withColumn(c, F.lit(None).cast("string"))
+    cleaned = edges.filter((F.col("u") != F.col("v")) | edge_is_protected())
+    endpoints = (
+        cleaned.select(F.col("u").alias("node_id"))
+        .union(cleaned.select(F.col("v").alias("node_id")))
+        .distinct()
+    )
+    kept_nodes = nodes.join(endpoints, "node_id", "leftsemi")
+    if kept_nodes.isEmpty():
+        raise ValueError(
+            "validate_topology: graph is empty after cleanup (graph consisted "
+            "entirely of self-loops or isolated nodes)"
+        )
+    if "edge_id" in cleaned.columns:
+        w = Window.partitionBy("edge_id").orderBy("u", "v", "key")
+        rn = F.row_number().over(w)
+        cleaned = cleaned.withColumn(
+            "edge_id",
+            F.when(rn == 1, F.col("edge_id")).otherwise(
+                F.concat_ws("_", F.col("edge_id"), (rn - 1).cast("string"))
+            ),
+        )
+    return kept_nodes, cleaned
+
+
+def create_unique_edge_id(edges: DataFrame) -> DataFrame:
+    """Deterministic 12-hex edge id: md5("{u}_{v}_{key}_{sorted osmids}")
+    truncated (reference graph.py:312-343) — pure Spark SQL, verified
+    byte-equal to the reference's hashlib.md5 in tests."""
+    osmid_dt = (
+        edges.schema["osmid"].dataType.simpleString() if "osmid" in edges.columns else ""
+    )
+    if osmid_dt.startswith("array"):
+        osm_part = F.array_join(F.array_sort("osmid").cast("array<string>"), "_")
+    elif "merged_osmids" in edges.columns:
+        osm_part = F.array_join(
+            F.array_sort("merged_osmids").cast("array<string>"), "_"
+        )
+    elif "osmid" in edges.columns:
+        osm_part = F.col("osmid").cast("string")
+    else:
+        osm_part = F.lit("")
+    payload = F.concat_ws(
+        "_",
+        F.col("u").cast("string"),
+        F.col("v").cast("string"),
+        F.col("key").cast("string"),
+        osm_part,
+    )
+    return edges.withColumn("edge_id", F.substring(F.md5(payload), 1, 12))
+
+
+# ---------------------------------------------------------------------------
+# node consolidation + components retention
+
+
+def consolidate_nodes(
+    nodes: DataFrame, edges: DataFrame, tolerance: float
+) -> tuple[DataFrame, DataFrame]:
+    """Merge nodes within ``tolerance`` into cluster centroids and remap
+    edge endpoints (reference graph.py:908-915,
+    ox.consolidate_intersections).  Close pairs come from a 3×3
+    neighbor-cell self-join on a grid of cell size ≥ tolerance — the
+    cell-index replacement for the reference's STRtree radius query
+    (graph.py:432-458)."""
+    cell = (F.floor(F.col("x") / F.lit(tolerance)).cast("long") * F.lit(1 << 22)
+            + F.floor(F.col("y") / F.lit(tolerance)).cast("long"))
+    pts = nodes.select("node_id", "x", "y").withColumn("cell", cell)
+    # 3x3 neighborhood via offset explode
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    off = pts.sparkSession.createDataFrame(offsets, "dx int, dy int")
+    probe = pts.crossJoin(F.broadcast(off)).withColumn(
+        "cell",
+        (F.floor(F.col("x") / F.lit(tolerance)).cast("long") + F.col("dx"))
+        * F.lit(1 << 22)
+        + (F.floor(F.col("y") / F.lit(tolerance)).cast("long") + F.col("dy")),
+    ).select(F.col("node_id").alias("nid2"), F.col("x").alias("x2"),
+             F.col("y").alias("y2"), "cell")
+    close = (
+        pts.join(probe, "cell")
+        .filter(F.col("node_id") < F.col("nid2"))
+        .filter(
+            (F.col("x") - F.col("x2")) * (F.col("x") - F.col("x2"))
+            + (F.col("y") - F.col("y2")) * (F.col("y") - F.col("y2"))
+            <= F.lit(float(tolerance) ** 2)
+        )
+        .select(F.col("node_id").alias("src"), F.col("nid2").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(close)
+    mapped = nodes.join(comp, nodes.node_id == comp.id, "left").select(
+        "node_id", "x", "y", F.coalesce("component", "node_id").alias("cluster")
+    )
+    new_nodes = mapped.groupBy(F.col("cluster").alias("node_id")).agg(
+        F.avg("x").alias("x"), F.avg("y").alias("y")
+    )
+    m_u = mapped.select(F.col("node_id").alias("u"), F.col("cluster").alias("new_u"))
+    m_v = mapped.select(F.col("node_id").alias("v"), F.col("cluster").alias("new_v"))
+    new_edges = (
+        edges.join(m_u, "u", "left")
+        .join(m_v, "v", "left")
+        .withColumn("u", F.coalesce("new_u", "u"))
+        .withColumn("v", F.coalesce("new_v", "v"))
+        .drop("new_u", "new_v")
+    )
+    return new_nodes, new_edges
+
+
+def largest_component(
+    nodes: DataFrame, edges: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Keep only the largest weakly connected component
+    (reference graph.py:987-1002, weak mode)."""
+    comp = connected_components(
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    sizes = comp.groupBy("component").count()
+    top = sizes.orderBy(F.desc("count"), F.asc("component")).limit(1)
+    keep = comp.join(F.broadcast(top.select("component")), "component").select(
+        F.col("id").alias("node_id")
+    )
+    kept_nodes = nodes.join(keep, "node_id", "leftsemi")
+    kept_edges = (
+        edges.join(keep.withColumnRenamed("node_id", "u"), "u", "leftsemi")
+    )
+    return kept_nodes, kept_edges

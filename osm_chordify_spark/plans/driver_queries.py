@@ -450,6 +450,89 @@ def spatial_left_join(spark, sf_dir):
     return out.select("osm_id", "zone_zone_id")
 
 
+# ---------------------------------------------------------------------------
+# graph operators (SURVEY §2.9 — chordify contraction, components)
+
+from osm_chordify_spark.operators import graph as _GR  # noqa: E402
+
+
+@register(
+    "chordify_contraction",
+    oracle="""
+select cast(min(p_partkey) as bigint) as u,
+       cast(max(p_partkey) + 1 as bigint) as v,
+       cast(count(*) as double) as length,
+       'h' || cast(cast(floor(p_partkey / 5) as int) as varchar) as highway,
+       'yes' as oneway
+from part
+group by floor(p_partkey / 5)
+""",
+)
+def chordify_contraction(spark, sf_dir):
+    """Degree-2 collapse on a deterministic path graph: edges
+    i→i+1 with highway switching every 5 nodes; each 5-edge run
+    collapses into one chord with summed length (reference
+    graph.py:922-962 via iterative DataFrame contraction)."""
+    part = _t(spark, sf_dir, "part")
+    edges = part.select(
+        F.col("p_partkey").alias("u"),
+        (F.col("p_partkey") + 1).alias("v"),
+        F.lit(0).alias("key"),
+        F.col("p_partkey").alias("osmid"),
+        F.lit(1.0).alias("length"),
+        F.concat(F.lit("h"), F.floor(F.col("p_partkey") / 5).cast("int").cast("string")).alias(
+            "highway"
+        ),
+        F.lit("yes").alias("oneway"),
+    )
+    out = _GR.chordify(edges, edge_attrs_differ=["highway"], track_merged=False)
+    return out.select("u", "v", "length", "highway", "oneway")
+
+
+@register(
+    "graph_components",
+    oracle="""
+select range as id, cast(floor(range / 10) as bigint) * 10 as component
+from range(0, 1000)
+""",
+)
+def graph_components(spark, sf_dir):
+    """Connected components via min-label propagation + pointer doubling
+    (reference graph.py:987-1002 largest-component machinery) on a
+    deterministic 100-block graph."""
+    n = 1000
+    pairs = (
+        spark.range(n)
+        .filter((F.col("id") % 10) != 9)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    return _GR.connected_components(pairs).select("id", "component")
+
+
+@register(
+    "edge_id_hash",
+    oracle="""
+select p_partkey,
+       substring(md5(cast(p_partkey as varchar) || '_' ||
+                     cast(p_partkey + 1 as varchar) || '_0_' ||
+                     cast(p_partkey as varchar)), 1, 12) as edge_id
+from part
+""",
+)
+def edge_id_hash(spark, sf_dir):
+    """Deterministic 12-hex edge id (reference graph.py:312-343) — md5
+    parity between Spark, DuckDB, and hashlib."""
+    part = _t(spark, sf_dir, "part")
+    edges = part.select(
+        F.col("p_partkey"),
+        F.col("p_partkey").alias("u"),
+        (F.col("p_partkey") + 1).alias("v"),
+        F.lit(0).alias("key"),
+        F.col("p_partkey").alias("osmid"),
+    )
+    return _GR.create_unique_edge_id(edges).select("p_partkey", "edge_id")
+
+
 @register(
     "props_tag_extract",
     oracle="""

@@ -1,0 +1,214 @@
+"""Graph operator tests: components, chordify, topology, consolidation.
+
+Semantics ported from reference tests/test_graph.py (cited per test)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_chordify_spark import geom as G
+from osm_chordify_spark.operators import graph as GR
+
+
+def _edges(spark, rows, extra_cols=()):
+    """rows: (u, v, key, osmid, length, highway, oneway) (+extras)."""
+    cols = ["u", "v", "key", "osmid", "length", "highway", "oneway", *extra_cols]
+    pdf = pd.DataFrame(rows, columns=cols)
+
+    def line(u, v):
+        return G.wkb_linestring([[float(u), 0.0], [float(v), 0.0]])
+
+    pdf["geometry"] = [line(r[0], r[1]) for r in rows]
+    return spark.createDataFrame(pdf)
+
+
+def test_connected_components_basic(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    comp = GR.connected_components(pairs).toPandas().set_index("id")["component"]
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert 20 not in comp.index  # self-pair filtered; isolated not listed
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer doubling must converge on a long path in O(log n) rounds."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    comp = GR.connected_components(pairs, max_iter=12).toPandas()
+    assert set(comp["component"]) == {0}
+    assert len(comp) == n + 1
+
+
+def test_chordify_simple_chain(spark):
+    """Path 1→2→3→4 with identical attrs collapses into one chord with
+    summed length and concatenated geometry (reference graph.py:922-962)."""
+    rows = [
+        (1, 2, 0, 101, 1.0, "residential", "yes"),
+        (2, 3, 0, 102, 1.0, "residential", "yes"),
+        (3, 4, 0, 103, 1.0, "residential", "yes"),
+    ]
+    out = GR.chordify(_edges(spark, rows), edge_attrs_differ=["highway"]).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["u"], r["v"]) == (1, 4)
+    assert r["length"] == 3.0
+    assert sorted(r["merged_osmids"]) == [101, 102, 103]
+    kind, coords = G.parse_wkb(bytes(r["geometry"]))
+    assert kind == "linestring"
+    assert coords[0].tolist() == [1.0, 0.0] and coords[-1].tolist() == [4.0, 0.0]
+
+
+def test_chordify_attr_boundary_stops_chain(spark):
+    """Attribute change at a node makes it an endpoint."""
+    rows = [
+        (1, 2, 0, 101, 1.0, "residential", "yes"),
+        (2, 3, 0, 102, 1.0, "primary", "yes"),  # highway differs at node 2
+        (3, 4, 0, 103, 1.0, "primary", "yes"),
+    ]
+    out = GR.chordify(_edges(spark, rows), edge_attrs_differ=["highway"]).toPandas()
+    # node 2 not collapsible (attr variants 2); node 3 collapsible
+    assert len(out) == 2
+    uv = sorted((r.u, r.v) for r in out.itertuples())
+    assert uv == [(1, 2), (2, 4)]
+
+
+def test_chordify_junction_is_endpoint(spark):
+    """Degree-3 node stays an endpoint."""
+    rows = [
+        (1, 2, 0, 1, 1.0, "r", "yes"),
+        (2, 3, 0, 2, 1.0, "r", "yes"),
+        (2, 9, 0, 3, 1.0, "r", "yes"),  # branch at node 2
+    ]
+    out = GR.chordify(_edges(spark, rows), edge_attrs_differ=["highway"]).toPandas()
+    assert len(out) == 3  # nothing collapses
+
+
+def test_chordify_bidirectional_chain(spark):
+    """Two-way street: both directions collapse, separately."""
+    rows = [
+        (1, 2, 0, 1, 1.0, "r", "no"),
+        (2, 3, 0, 2, 1.0, "r", "no"),
+        (3, 2, 0, 2, 1.0, "r", "no"),
+        (2, 1, 0, 1, 1.0, "r", "no"),
+    ]
+    out = GR.chordify(_edges(spark, rows), edge_attrs_differ=["highway"]).toPandas()
+    assert len(out) == 2
+    uv = sorted((r.u, r.v) for r in out.itertuples())
+    assert uv == [(1, 3), (3, 1)]
+    assert all(out["length"] == 2.0)
+
+
+def test_chordify_yes_no_and_bool_aggs(spark):
+    rows = [
+        (1, 2, 0, 1, 1.0, "r", "yes"),
+        (2, 3, 0, 2, 1.0, "r", "no"),
+    ]
+    out = GR.chordify(_edges(spark, rows), edge_attrs_differ=["highway"]).toPandas()
+    assert out.iloc[0]["oneway"] == "no"  # yes_no_all folds to "no"
+
+
+def test_validate_topology_self_loops(spark):
+    """reference tests/test_graph.py:142-173: unprotected self-loop
+    removed; protected (motorway) retained."""
+    rows = [
+        (1, 1, 0, 1, 1.0, "residential", "yes"),  # removable loop
+        (2, 2, 0, 2, 1.0, "motorway", "yes"),  # protected loop
+        (2, 3, 0, 3, 1.0, "residential", "yes"),
+    ]
+    edges = _edges(spark, rows)
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"node_id": [1, 2, 3, 99], "x": [0.0] * 4, "y": [0.0] * 4})
+    )
+    kn, ke = GR.validate_topology(nodes, edges)
+    ke_p = ke.toPandas()
+    assert len(ke_p) == 2
+    assert set(ke_p["u"]) == {2}
+    # isolated nodes 1 (loop removed) and 99 dropped
+    assert sorted(kn.toPandas()["node_id"]) == [2, 3]
+
+
+def test_validate_topology_empty_raises(spark):
+    rows = [(1, 1, 0, 1, 1.0, "residential", "yes")]
+    edges = _edges(spark, rows)
+    nodes = spark.createDataFrame(pd.DataFrame({"node_id": [1], "x": [0.0], "y": [0.0]}))
+    with pytest.raises(ValueError, match="empty"):
+        GR.validate_topology(nodes, edges)
+
+
+def test_duplicate_edge_id_suffixing(spark):
+    """reference graph.py:411-424 / tests/test_graph.py:218-232."""
+    rows = [
+        (1, 2, 0, 1, 1.0, "r", "yes"),
+        (2, 3, 0, 2, 1.0, "r", "yes"),
+        (3, 4, 0, 3, 1.0, "r", "yes"),
+    ]
+    edges = _edges(spark, rows).withColumn("edge_id", F.lit("dup"))
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"node_id": [1, 2, 3, 4], "x": [0.0] * 4, "y": [0.0] * 4})
+    )
+    _, ke = GR.validate_topology(nodes, edges)
+    ids = sorted(ke.toPandas()["edge_id"])
+    assert ids == ["dup", "dup_1", "dup_2"]
+
+
+def test_create_unique_edge_id_matches_hashlib(spark):
+    """reference tests/test_graph.py:604-627: md5 hash parity."""
+    rows = [(5, 7, 0, 42, 1.0, "r", "yes")]
+    out = GR.create_unique_edge_id(_edges(spark, rows)).toPandas()
+    expected = hashlib.md5("5_7_0_42".encode()).hexdigest()[:12]
+    assert out.iloc[0]["edge_id"] == expected
+    assert len(out.iloc[0]["edge_id"]) == 12
+
+
+def test_create_unique_edge_id_sorted_list(spark):
+    pdf = pd.DataFrame(
+        {"u": [5], "v": [7], "key": [0], "osmid": [[9, 3, 12]]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = GR.create_unique_edge_id(df).toPandas()
+    expected = hashlib.md5("5_7_0_3_9_12".encode()).hexdigest()[:12]
+    assert out.iloc[0]["edge_id"] == expected
+
+
+def test_consolidate_nodes(spark):
+    """Nodes within tolerance merge to centroid; edges remap
+    (reference graph.py:908-915)."""
+    nodes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "node_id": [1, 2, 3],
+                "x": [0.0, 0.5, 100.0],
+                "y": [0.0, 0.0, 0.0],
+            }
+        )
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame({"u": [1, 2], "v": [3, 3], "key": [0, 0]})
+    )
+    nn, ne = GR.consolidate_nodes(nodes, edges, tolerance=1.0)
+    nn_p = nn.toPandas().sort_values("node_id")
+    assert len(nn_p) == 2
+    merged = nn_p[nn_p["node_id"] == 1].iloc[0]
+    assert merged["x"] == 0.25  # centroid of 0.0 and 0.5
+    ne_p = ne.toPandas()
+    assert set(ne_p["u"]) == {1}  # node 2 remapped to cluster 1
+    assert set(ne_p["v"]) == {3}
+
+
+def test_largest_component(spark):
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"node_id": [1, 2, 3, 10, 11], "x": [0.0] * 5, "y": [0.0] * 5})
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame({"u": [1, 2, 10], "v": [2, 3, 11], "key": [0, 0, 0]})
+    )
+    kn, ke = GR.largest_component(nodes, edges)
+    assert sorted(kn.toPandas()["node_id"]) == [1, 2, 3]
+    assert len(ke.toPandas()) == 2
