@@ -1,0 +1,296 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each a DataFrame→DataFrame transform over a
+``documents``-shaped table (id + text):
+
+* exact_dedup        — hash-groupBy on a key expression (byte-exact)
+* ngram_jaccard_dedup— word-n-gram Jaccard similarity pairs + dedup
+                        (the small/verifiable path; all-pairs within
+                        blocking buckets)
+* minhash_lsh_dedup  — shingle → minhash signature → banded LSH bucket
+                        join (the 100 TB path: candidate pairs only from
+                        shared buckets, never all-pairs)
+* simhash_dedup      — 64-bit simhash + banded hamming candidates
+
+Everything is built from JVM column expressions (xxhash64, array
+transforms); the only Python is the simhash bit-fold (NumPy batch UDF).
+
+Scale notes: minhash bucketing joins on (band_idx, band_hash) — skewed
+buckets (boilerplate text) are exactly the "hot cell" problem; the same
+salting/AQE treatment applies.  Connected components for transitive
+duplicate groups reuses operators/graph.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm_chordify_spark.operators.graph import connected_components
+
+
+def exact_dedup(
+    df: DataFrame, key: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id row per exact key (deterministic survivor)."""
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Distinct word n-grams of a text column, as an array (JVM-side)."""
+    words = F.split(F.trim(text), r"\s+")
+    if n == 1:
+        return F.array_distinct(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over array columns (0 when both empty)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_distinct(F.concat(a, b)))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.5,
+    block_key: Column | None = None,
+) -> DataFrame:
+    """Similar pairs (id_a < id_b, jaccard ≥ threshold) via self-join.
+
+    ``block_key`` restricts the self-join to matching blocks (e.g. a
+    length bucket or a minhash band) — REQUIRED at scale; None means
+    all-pairs (verification/small data only)."""
+    grams = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
+    )
+    if block_key is not None:
+        grams = grams.withColumn("__blk", block_key)
+    a = grams.select(
+        F.col("id").alias("id_a"), F.col("grams").alias("g_a"),
+        *([F.col("__blk")] if block_key is not None else []),
+    )
+    b = grams.select(
+        F.col("id").alias("id_b"), F.col("grams").alias("g_b"),
+        *([F.col("__blk")] if block_key is not None else []),
+    )
+    joined = (
+        a.join(b, on="__blk") if block_key is not None else a.crossJoin(b)
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn("jac", jaccard(F.col("g_a"), F.col("g_b")))
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def dedup_from_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop every row whose id belongs to a duplicate group but is not
+    the group's min id (transitive closure via connected components)."""
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def char_shingles_hashed(text: Column, k: int = 8) -> Column:
+    """Distinct xxhash64 values of the k-char shingles of text (JVM)."""
+    n = F.greatest(F.length(text) - (k - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.xxhash64(F.substring(text, i, k))
+        )
+    )
+
+
+_MERSENNE = (1 << 31) - 1  # Mersenne-31: a·x' + b < 2^62, safe under ANSI int64
+
+
+def minhash_signature(shingles: Column, num_perm: int = 64, seed: int = 7) -> Column:
+    """num_perm minhash values: min over shingles of (a·x' + b) mod p,
+    with x' = x mod p.
+
+    Permutation constants are seeded and deterministic; all arithmetic
+    stays within int64 even with ANSI overflow checks enabled."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+
+    def perm(aj: int, bj: int):
+        return lambda x: F.pmod(
+            F.pmod(x, F.lit(_MERSENNE)) * F.lit(aj) + F.lit(bj), F.lit(_MERSENNE)
+        )
+
+    vals = [
+        F.array_min(F.transform(shingles, perm(int(a[j]), int(b[j]))))
+        for j in range(num_perm)
+    ]
+    return F.array(*vals)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 8,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Candidate duplicate pairs via banded minhash LSH, optionally
+    verified with exact shingle Jaccard.
+
+    bands buckets of num_perm/bands rows each: two docs collide when any
+    band of their signatures hashes equal.  Candidate generation is an
+    equi-join on (band_idx, band_hash) — a plain shuffled hash join that
+    AQE can split on skew."""
+    rows = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles_hashed(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), bi * rows + 1, rows).cast("string")
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bs"),
+    ).select("id", "sh", F.col("bs.band").alias("band"), F.col("bs.bhash").alias("bhash"))
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bhash"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bhash"
+    )
+    cand = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if verify_threshold is None:
+        return cand.select("id_a", "id_b")
+    return (
+        cand.withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jac") >= verify_threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw
+) -> DataFrame:
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
+    return dedup_from_pairs(df, pairs, id_col)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_and_bands(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bands: int = 4
+) -> DataFrame:
+    """64-bit simhash of word tokens + n_bands 16-bit band values.
+
+    The bit fold (sum of ±1 per bit over token hashes) runs as one
+    Arrow-batched NumPy UDF — vectorized popcount over the batch."""
+    tokens_hashed = F.transform(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+    )
+
+    @F.pandas_udf("long")
+    def fold(hashes: pd.Series) -> pd.Series:
+        out = np.empty(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            if len(arr) == 0:
+                out[i] = 0
+                continue
+            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int32
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sim = np.uint64(0)
+            for bit in np.nonzero(votes > 0)[0]:
+                sim |= np.uint64(1) << np.uint64(bit)
+            out[i] = np.int64(sim)
+        return pd.Series(out)
+
+    out = df.withColumn("simhash", fold(tokens_hashed))
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    for bi in range(n_bands):
+        out = out.withColumn(
+            f"simband_{bi}",
+            F.shiftrightunsigned(F.col("simhash"), bi * width).bitwiseAND(
+                F.lit(mask).cast("long")
+            ),
+        )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs with hamming(simhash) ≤ max_hamming.
+
+    By pigeonhole, any pair within max_hamming ≤ n_bands - 1 shares at
+    least one exact band — candidates come from band equi-joins only."""
+    sh = simhash_and_bands(df, text_col, id_col, n_bands).select(
+        F.col(id_col).alias("id"), "simhash", *[f"simband_{i}" for i in range(n_bands)]
+    )
+    cands = None
+    for bi in range(n_bands):
+        a = sh.select(
+            F.col("id").alias("id_a"), F.col("simhash").alias("h_a"),
+            F.col(f"simband_{bi}").alias("band"),
+        )
+        b = sh.select(
+            F.col("id").alias("id_b"), F.col("simhash").alias("h_b"),
+            F.col(f"simband_{bi}").alias("band"),
+        )
+        c = a.join(b, "band").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "h_a", "h_b"
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

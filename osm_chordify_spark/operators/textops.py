@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (whole-stage codegen), shaped after the
+reference's tag extraction/normalization layer (reference:
+src/osm_chordify/osm/tags.py regex extraction patterns; osm/analyze.py
+tag-frequency statistics):
+
+* token_count      — whitespace tokenization count
+* bpe_ish_tokens   — regex sub-word token count (a BPE-like proxy)
+* quality_score    — length / punctuation / stopword-ratio features
+* langid           — n-gram/stopword-marker language scoring (argmax)
+* doc_fingerprint  — min-of-k-gram-md5 rolling fingerprint
+                      (winnowing-lite, engine-portable via md5)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/null."""
+    t = F.trim(F.coalesce(text, F.lit("")))
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, _WS)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: alpha runs, digit runs, and single
+    punctuation marks each count as one token (a deterministic proxy for
+    BPE tokenizers)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(text, F.lit("")), F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), F.lit(1)
+        )
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring feature columns (each engine-portable)."""
+    t = F.coalesce(text, F.lit(""))
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"([.,!?;:])"), F.lit(1)))
+    stop_pat = r"(?i)\b(" + "|".join(_STOPWORDS) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(t, F.lit(stop_pat), F.lit(1)))
+    avg_word_len = F.when(
+        n_tokens > 0, (n_chars - n_tokens + 1) / n_tokens
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tokens > 0, n_stop / n_tokens).otherwise(
+            F.lit(0.0)
+        ),
+        "avg_word_len": avg_word_len,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards stopword presence
+    and moderate length, penalizes punctuation soup."""
+    f = quality_features(text)
+    length_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - f["punct_ratio"] * 10.0, F.lit(0.0))
+    return F.round((length_term + stop_term + punct_pen) / 3.0, 6)
+
+
+# marker words per language for the n-gram-heuristic language id; the
+# scoring is a deterministic argmax so Spark and the SQL oracle agree
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def langid(text: Column) -> Column:
+    """Predicted language = argmax of marker-word hit counts, tie-broken
+    by language code; "und" (undetermined) when no marker hits."""
+    t = F.coalesce(text, F.lit(""))
+    pairs = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        pat = r"(?i)\b(" + "|".join(markers) + r")\b"
+        score = F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(1)))
+        pairs.append(F.struct((-score).alias("neg_score"), F.lit(lang).alias("lang")))
+    winner = F.array_min(F.array(*pairs))
+    return F.when(winner["neg_score"] < 0, winner["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(text: Column, k: int = 8) -> Column:
+    """Rolling k-gram fingerprint: min over md5 of every k-char window
+    (md5 is byte-identical across Spark/DuckDB/hashlib, so the
+    fingerprint is an engine-portable content id); full-text md5 when
+    shorter than k."""
+    t = F.coalesce(text, F.lit(""))
+    n = F.length(t) - (k - 1)
+    return F.when(
+        n >= 1,
+        F.array_min(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(F.substring(t, i, k)))
+        ),
+    ).otherwise(F.md5(t))
+
+
+def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All analysis columns in one projection."""
+    t = F.col(text_col)
+    feats = quality_features(t)
+    return (
+        df.withColumn("n_chars2", feats["n_chars"])
+        .withColumn("n_tokens", feats["n_tokens"])
+        .withColumn("punct_ratio", feats["punct_ratio"])
+        .withColumn("stopword_ratio", feats["stopword_ratio"])
+        .withColumn("quality", quality_score(t))
+        .withColumn("pred_lang", langid(t))
+        .withColumn("fingerprint", doc_fingerprint(t))
+        .withColumn("bpe_tokens", bpe_ish_token_count(t))
+    )

@@ -534,6 +534,234 @@ def edge_id_hash(spark, sf_dir):
 
 
 @register(
+    "knn_segment_match",
+    oracle="""
+with pts as (
+  select c_custkey as point_id,
+         ((c_custkey * 3) % 100) / 1e1 + 5e-2 as x,
+         ((c_custkey * 7) % 100) / 1e1 + 5e-2 as y
+  from customer
+), segs as (
+  select p_partkey as seg_id,
+         ((p_partkey * 11) % 100) / 1e1 + 5e-2 as mx,
+         ((p_partkey * 17) % 100) / 1e1 + 5e-2 as my
+  from part
+)
+select point_id, seg_id, rank from (
+  select p.point_id, s.seg_id,
+         row_number() over (
+           partition by p.point_id
+           order by sqrt((p.x - s.mx) * (p.x - s.mx) + (p.y - s.my) * (p.y - s.my)),
+                    s.seg_id
+         ) as rank
+  from pts p cross join segs s
+) where rank <= 2
+""",
+)
+def knn_segment_match(spark, sf_dir):
+    """Exact kNN map-matching of points to segment midpoints via
+    expanding cell-ring search (the reference's stubbed
+    match_road_network_geometries, main.py:219-265, implemented for
+    real per north_star).  The oracle is the O(n·m) brute force."""
+    from osm_chordify_spark.operators.knn import knn_match
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        F.expr("((c_custkey * 3) % 100) / 1e1 + 5e-2").alias("x"),
+        F.expr("((c_custkey * 7) % 100) / 1e1 + 5e-2").alias("y"),
+    )
+    segs = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("seg_id"),
+        F.expr("((p_partkey * 11) % 100) / 1e1 + 5e-2").alias("mx"),
+        F.expr("((p_partkey * 17) % 100) / 1e1 + 5e-2").alias("my"),
+    )
+    out = knn_match(pts, segs, k=2, res=10)
+    return out.select("point_id", "seg_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / text analysis / ANN)
+
+from osm_chordify_spark.operators import ann as _ANN  # noqa: E402
+from osm_chordify_spark.operators import dedup as _DD  # noqa: E402
+from osm_chordify_spark.operators import textops as _TX  # noqa: E402
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+select min(doc_id) as doc_id, count(*) as group_size
+from documents group by substr(text, 1, 20)
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on a prefix key, min-id survivor."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.substring("text", 1, 20)
+    survivors = _DD.exact_dedup(docs, key)
+    sizes = docs.groupBy(key.alias("__k")).agg(F.count("*").alias("group_size"))
+    return (
+        survivors.withColumn("__k", key)
+        .join(sizes, "__k")
+        .select("doc_id", "group_size")
+    )
+
+
+_GRAMS_SQL = """
+with w as (
+  select doc_id, regexp_split_to_array(trim(text), '\\s+') as arr from documents
+), g as (
+  select doc_id,
+         list_distinct(list_transform(range(1, greatest(len(arr) - 1, 0) + 1),
+                       i -> arr[i] || ' ' || arr[i + 1])) as grams
+  from w
+)
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=_GRAMS_SQL
+    + """
+select a.doc_id as id_a, b.doc_id as id_b,
+       cast(len(list_intersect(a.grams, b.grams)) as double)
+       / len(list_distinct(list_concat(a.grams, b.grams))) as jac
+from g a join g b on a.doc_id < b.doc_id
+where len(list_distinct(list_concat(a.grams, b.grams))) > 0
+  and cast(len(list_intersect(a.grams, b.grams)) as double)
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 15e-2
+""",
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    """Word-bigram Jaccard near-dup pairs (all-pairs verification path;
+    the LSH path is minhash_lsh_dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _DD.ngram_jaccard_pairs(docs, n=2, threshold=0.15)
+
+
+@register("minhash_lsh_dedup")  # rows-only: banded-LSH candidates are not SQL-expressible
+def minhash_lsh_dedup_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = _DD.minhash_lsh_dedup(docs, num_perm=32, bands=8, verify_threshold=0.5)
+    return out.select("doc_id")
+
+
+@register("simhash_pairs")  # rows-only
+def simhash_pairs_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _DD.simhash_pairs(docs, max_hamming=6)
+
+
+_LANG_SCORE_SQL = {
+    "de": r"len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist)\b'))",
+    "en": r"len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is)\b'))",
+    "es": r"len(regexp_extract_all(text, '(?i)\b(el|la|de|que|los)\b'))",
+    "fr": r"len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est)\b'))",
+}
+
+
+@register(
+    "text_analysis",
+    oracle=f"""
+with s as (
+  select doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) as n_tokens,
+         len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])')) as bpe_tokens,
+         list_min(list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+                  r -> md5(substr(text, r, 8)))) as fingerprint,
+         {_LANG_SCORE_SQL['de']} as s_de,
+         {_LANG_SCORE_SQL['en']} as s_en,
+         {_LANG_SCORE_SQL['es']} as s_es,
+         {_LANG_SCORE_SQL['fr']} as s_fr
+  from documents
+)
+select doc_id, n_tokens, bpe_tokens, fingerprint,
+       case when greatest(s_de, s_en, s_es, s_fr) = 0 then 'und'
+            when s_de >= s_en and s_de >= s_es and s_de >= s_fr then 'de'
+            when s_en >= s_es and s_en >= s_fr then 'en'
+            when s_es >= s_fr then 'es'
+            else 'fr' end as pred_lang
+from s
+""",
+)
+def text_analysis(spark, sf_dir):
+    """Token counting, BPE-ish tokenization, language id, rolling
+    fingerprint — one codegen projection (reference analog: the tag
+    extraction/normalization layer, tags.py regex patterns)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        _TX.token_count(t).alias("n_tokens"),
+        _TX.bpe_ish_token_count(t).alias("bpe_tokens"),
+        _TX.doc_fingerprint(t).alias("fingerprint"),
+        _TX.langid(t).alias("pred_lang"),
+    )
+
+
+@register(
+    "quality_scores",
+    oracle="""
+select doc_id,
+       length(text) as n_chars,
+       len(regexp_extract_all(text, '([.,!?;:])')) as n_punct,
+       len(regexp_extract_all(text, '(?i)\\b(the|a|of|and|to|in|is|it|that|for)\\b')) as n_stop
+from documents
+""",
+)
+def quality_scores(spark, sf_dir):
+    """Quality-feature extraction (counts only — the composite score
+    involves ratios whose rounding is engine-specific)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    stop_pat = r"(?i)\b(the|a|of|and|to|in|is|it|that|for)\b"
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        F.size(F.regexp_extract_all(t, F.lit(r"([.,!?;:])"), F.lit(1))).alias("n_punct"),
+        F.size(F.regexp_extract_all(t, F.lit(stop_pat), F.lit(1))).alias("n_stop"),
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+with q as (select vec_id as query_id, cast(embedding as double[]) as qv
+           from embeddings where vec_id < 10),
+     v as (select vec_id, cast(embedding as double[]) as vv from embeddings)
+select query_id, vec_id, rank from (
+  select q.query_id, v.vec_id,
+         row_number() over (
+           partition by q.query_id
+           order by round(list_cosine_similarity(q.qv, v.vv), 6) desc, v.vec_id
+         ) as rank
+  from q cross join v where v.vec_id <> q.query_id
+) where rank <= 5
+""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 (the ANN baseline); double-
+    precision sequential dot products; cosine rounded to 6 dp before
+    ranking so float noise can't flip ranks across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = _ANN.cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", "rank")
+
+
+@register("ann_lsh_topk")  # rows-only: approximate (recall < 1 by design)
+def ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _ANN.lsh_bucket_topk(emb, queries, dim=dim, k=5)
+
+
+@register(
     "props_tag_extract",
     oracle="""
 select event_type,

@@ -1,0 +1,88 @@
+"""Dedup/ANN operator tests with planted duplicates."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_chordify_spark.operators import ann as ANN
+from osm_chordify_spark.operators import dedup as DD
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "completely different text about spark query engines and shuffles",
+        "numbers and words mixed 42 tokens for testing purposes only here",
+    ]
+    rows = []
+    # planted near-dups: copy with one word changed; exact dup of base[0]
+    rows.append((0, base[0]))
+    rows.append((1, base[0]))  # exact dup
+    rows.append((2, base[0].replace("lazy", "sleepy")))  # near dup
+    rows.append((3, base[1]))
+    rows.append((4, base[2]))
+    rows.append((5, "totally unrelated short text"))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(docs):
+    out = DD.exact_dedup(docs, F.col("text")).toPandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4, 5]  # 1 is the exact dup
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = DD.ngram_jaccard_pairs(docs, n=2, threshold=0.5).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert all(a < b for a, b in got)
+
+
+def test_minhash_lsh_finds_planted_dups(docs):
+    pairs = DD.minhash_lsh_pairs(
+        docs, num_perm=64, bands=16, verify_threshold=0.5
+    ).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    assert (0, 1) in got  # exact dup always collides
+    assert (0, 2) in got or (1, 2) in got  # near dup found by LSH
+    survivors = DD.minhash_lsh_dedup(docs, num_perm=64, bands=16).toPandas()
+    assert 0 in set(survivors["doc_id"])  # min-id survivor kept
+    assert 1 not in set(survivors["doc_id"])
+
+
+def test_simhash_pairs_exact_dup(docs):
+    pairs = DD.simhash_pairs(docs, max_hamming=3).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    assert (0, 1) in got
+    ham = pairs.set_index(["id_a", "id_b"])["hamming"]
+    assert ham[(0, 1)] == 0
+
+
+def test_dedup_from_pairs_transitive(spark, docs):
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 1], "id_b": [1, 2]})
+    )
+    out = DD.dedup_from_pairs(docs, pairs).toPandas()
+    # transitive group {0,1,2} → only 0 survives
+    assert sorted(out["doc_id"]) == [0, 3, 4, 5]
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    pdf = pd.DataFrame(
+        {"vec_id": range(200), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ANN.cosine_topk(df, queries, k=5).toPandas()
+    approx = ANN.lsh_bucket_topk(df, queries, dim=16, k=5, n_bits=6, n_tables=6).toPandas()
+    e = set(map(tuple, exact[["query_id", "vec_id"]].itertuples(index=False)))
+    a = set(map(tuple, approx[["query_id", "vec_id"]].itertuples(index=False)))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # approximate, but must find a majority
+    assert len(exact) == 25  # 5 queries × 5 neighbors, self excluded

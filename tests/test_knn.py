@@ -1,0 +1,51 @@
+"""kNN match tests: exactness vs brute force, tie-breaks, escalation."""
+
+import numpy as np
+import pandas as pd
+
+from osm_chordify_spark.operators.knn import knn_match, segment_midpoints
+from osm_chordify_spark import geom as G
+
+
+def _brute(points, segs, k):
+    rows = []
+    for pid, px, py in points:
+        d = [
+            (float(np.hypot(px - sx, py - sy)), sid)
+            for sid, sx, sy in segs
+        ]
+        d.sort()
+        for rank, (dist, sid) in enumerate(d[:k], 1):
+            rows.append((pid, sid, rank))
+    return sorted(rows)
+
+
+def test_knn_exact_vs_brute_force(spark):
+    rng = np.random.default_rng(11)
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 10, (300, 2)))]
+    segs = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 10, (50, 2)))]
+    pdf = spark.createDataFrame(pd.DataFrame(pts, columns=["point_id", "x", "y"]))
+    sdf = spark.createDataFrame(pd.DataFrame(segs, columns=["seg_id", "mx", "my"]))
+    out = knn_match(pdf, sdf, k=3, res=10).toPandas()
+    got = sorted(map(tuple, out[["point_id", "seg_id", "rank"]].itertuples(index=False)))
+    assert got == _brute(pts, segs, 3)
+
+
+def test_knn_sparse_segments_escalates_rings(spark):
+    """One far-away segment: escalation must still find it."""
+    pts = [(0, 0.0, 0.0), (1, 9.0, 9.0)]
+    segs = [(77, 5.0, 5.0)]
+    pdf = spark.createDataFrame(pd.DataFrame(pts, columns=["point_id", "x", "y"]))
+    sdf = spark.createDataFrame(pd.DataFrame(segs, columns=["seg_id", "mx", "my"]))
+    out = knn_match(pdf, sdf, k=1, res=12).toPandas()
+    assert len(out) == 2
+    assert set(out["seg_id"]) == {77}
+
+
+def test_segment_midpoints(spark):
+    line = G.wkb_linestring([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0]])
+    df = spark.createDataFrame(
+        pd.DataFrame({"seg_id": [1], "geometry": [line]})
+    )
+    out = segment_midpoints(df).toPandas()
+    assert (out.iloc[0]["mx"], out.iloc[0]["my"]) == (4.0, 0.0)
