@@ -761,6 +761,185 @@ def ann_lsh_topk(spark, sf_dir):
     return _ANN.lsh_bucket_topk(emb, queries, dim=dim, k=5)
 
 
+# ---------------------------------------------------------------------------
+# diagnostics / process_tags / additional relational coverage
+
+from osm_chordify_spark.operators import diagnostics as _DG  # noqa: E402
+from osm_chordify_spark.operators.process_tags import process_tags as _PT  # noqa: E402
+
+
+@register(
+    "edge_quality_summary",
+    oracle="""
+select count(*) as n_edges,
+       0 as missing_length,
+       sum(case when l_quantity <= 0 then 1 else 0 end) as nonpositive_length,
+       sum(case when l_quantity < 15e0 then 1 else 0 end) as short_links,
+       sum(case when l_quantity > 1e4 then 1 else 0 end) as long_links,
+       min(l_extendedprice) as speed_min,
+       max(l_extendedprice) as speed_max
+from lineitem
+""",
+)
+def edge_quality_summary_q(spark, sf_dir):
+    """A12 edge-quality summary over lineitem-as-edges (reference
+    graph.py:477-499: one agg pass, many conditional sums)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("length"),
+        F.col("l_extendedprice").alias("speed_kph"),
+    )
+    out = _DG.edge_quality_summary(li, oneway_col=None)
+    return out.select(
+        "n_edges", "missing_length", "nonpositive_length",
+        "short_links", "long_links", "speed_min", "speed_max",
+    )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+select floor(value / 25e0) * 25e0 as bucket_start, count(*) as n
+from events where value is not null and value <= 5e2
+group by 1
+""",
+)
+def events_value_histogram(spark, sf_dir):
+    """A14 link-length-style histogram via width buckets."""
+    ev = _t(spark, sf_dir, "events").select(F.col("value").alias("length"))
+    return _DG.link_length_histogram(ev, bucket_m=25.0, max_m=500.0)
+
+
+@register(
+    "token_frequency_by_lang",
+    oracle="""
+select lang, token, n as count from (
+  select lang, token, count(*) as n,
+         row_number() over (partition by lang order by count(*) desc, token) as rk
+  from (
+    select lang, unnest(regexp_split_to_array(trim(text), '\\s+')) as token
+    from documents
+  ) group by lang, token
+) where rk <= 5
+""",
+)
+def token_frequency_by_lang(spark, sf_dir):
+    """A16 tag-frequency stats regrafted onto tokens: top-5 tokens per
+    language (explode + windowed top-N, reference analyze.py:116-226)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _DG.token_frequency(docs, group_col="lang", top_n=5)
+
+
+@register(
+    "percentile_summary",
+    oracle="""
+select cast(quantile_cont(l_quantity, 0.25) as double) as q25,
+       cast(quantile_cont(l_quantity, 0.50) as double) as q50,
+       cast(quantile_cont(l_quantity, 0.75) as double) as q75,
+       cast(avg(cast(l_quantity as decimal(18,2))) as double) as mean_qty
+from lineitem
+""",
+)
+def percentile_summary(spark, sf_dir):
+    """A15 density-stats pattern: exact interpolated quantiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.avg(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("mean_qty"),
+    )
+
+
+@register(
+    "process_tags_pipeline",
+    oracle="""
+with e as (
+  select l_orderkey, l_linenumber,
+         case when l_linenumber % 3 = 0 then 'yes'
+              when l_linenumber % 3 = 1 then '-1;-1' else 'junk' end as raw_oneway,
+         case when l_linenumber % 2 = 0 then cast(l_quantity as varchar) || ' kg'
+              else null end as raw_maxweight
+  from lineitem
+)
+select l_orderkey, l_linenumber,
+       case when l_linenumber % 3 = 0 then 'yes'
+            when l_linenumber % 3 = 1 then '-1' else 'no' end as oneway,
+       case when raw_maxweight is not null
+            then cast(cast(regexp_extract(raw_maxweight, '^(\\d+\\.?\\d*)', 1) as double) * 1e-3 as double)
+            else null end as maxweight,
+       case when raw_maxweight is not null
+                  and cast(regexp_extract(raw_maxweight, '^(\\d+\\.?\\d*)', 1) as double) * 1e-3 <= 45e-1
+            then false else true end as mdv,
+       case when raw_maxweight is not null
+                  and cast(regexp_extract(raw_maxweight, '^(\\d+\\.?\\d*)', 1) as double) * 1e-3 <= 12e0
+            then false else true end as hgv
+from e
+""",
+)
+def process_tags_pipeline(spark, sf_dir):
+    """G6 process_tags: standardize oneway + weight, FHWA hgv/mdv
+    downgrade (reference graph.py:222-309) over synthetic tag columns."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") % 3 == 0, "yes")
+        .when(F.col("l_linenumber") % 3 == 1, "-1;-1")
+        .otherwise("junk")
+        .alias("oneway"),
+        F.when(
+            F.col("l_linenumber") % 2 == 0,
+            F.concat(F.col("l_quantity").cast("string"), F.lit(" kg")),
+        ).alias("maxweight"),
+    )
+    out = _PT(li, target_unit="tons", mdv_max=4.5, hdv_max=12.0)
+    return out.select(
+        "l_orderkey", "l_linenumber", "oneway", "maxweight", "mdv", "hgv"
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+select l_orderkey,
+       cast(round(sum(cast(l_extendedprice as decimal(18,2))
+                      * (1 - cast(l_discount as decimal(18,2)))), 2) as double) as revenue,
+       o_orderdate
+from customer c
+join orders o on c.c_custkey = o.o_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+where c.c_mktsegment = 'BUILDING'
+  and o.o_orderdate < cast('1995-03-15' as timestamp)
+  and l.l_shipdate > cast('1995-03-15' as timestamp)
+group by l_orderkey, o_orderdate
+order by revenue desc, o_orderdate, l_orderkey
+limit 10
+""",
+)
+def tpch_q3(spark, sf_dir):
+    """Three-table join + agg + top-k (broadcast dim, shuffled fact)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    dec = lambda n: F.col(n).cast("decimal(18,2)")  # noqa: E731
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
 @register(
     "props_tag_extract",
     oracle="""

@@ -1,0 +1,124 @@
+"""Sources/sinks + checkpoint/resume tests."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osm_chordify_spark import geom as G
+from osm_chordify_spark.plans.checkpoint import CheckpointManager, fingerprint_source
+from osm_chordify_spark.sources import io as IO
+
+
+def test_load_table_dispatch(spark, tmp_path):
+    pdf = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(pdf).write.parquet(p)
+    df = IO.load_table(spark, p)
+    assert df.count() == 2
+    # passthrough
+    assert IO.load_table(spark, df) is df
+    with pytest.raises(ValueError, match="cannot infer"):
+        IO.load_table(spark, str(tmp_path / "unknown.xyz"))
+
+
+def test_save_csv_exports_geometry_wkt(spark, tmp_path):
+    line = G.wkb_linestring([[0.0, 0.0], [1.0, 2.0]])
+    df = spark.createDataFrame(pd.DataFrame({"id": [1], "geometry": [line]}))
+    out = str(tmp_path / "out.csv")
+    IO.save_table(df, out)
+    back = spark.read.option("header", "true").csv(out).toPandas()
+    assert back.iloc[0]["geometry_wkt"] == "LINESTRING (0.0 0.0, 1.0 2.0)"
+    assert "geometry" not in back.columns
+
+
+def test_wkt_writer_shapes():
+    assert IO.wkb_to_wkt(G.wkb_point(1.0, 2.0)) == "POINT (1.0 2.0)"
+    sq = [np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])]
+    wkt = IO.wkb_to_wkt(G.wkb_polygon(sq))
+    assert wkt.startswith("POLYGON ((0.0 0.0, 1.0 0.0,")
+    assert wkt.endswith("0.0 0.0))")  # ring closed
+
+
+def test_load_osm_edges_contract(spark, tmp_path):
+    """reference intersect.py:32-64: rename + cast + validation."""
+    line = G.wkb_linestring([[0.0, 0.0], [1.0, 0.0]])
+    pdf = pd.DataFrame(
+        {"osmid": ["42"], "edge_id": ["e1"], "length": [1.5], "geometry": [line]}
+    )
+    p = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(pdf).write.parquet(p)
+    out = IO.load_osm_edges(spark, p)
+    assert out.columns == ["osm_id", "edge_id", "edge_length", "geometry"]
+    r = out.collect()[0]
+    assert r.osm_id == 42 and r.edge_length == 1.5
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame(pd.DataFrame({"osmid": [1]})).write.parquet(bad)
+    with pytest.raises(ValueError, match="missing required"):
+        IO.load_osm_edges(spark, bad)
+
+
+def test_checkpoint_resume_short_circuits(spark, tmp_path):
+    ck = CheckpointManager(spark, str(tmp_path / "ckpt"))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(100).withColumnRenamed("id", "n")
+
+    fp = {"param": 1}
+    df1 = ck.stage("s1", fp, build)
+    assert df1.count() == 100 and len(calls) == 1
+    df2 = ck.stage("s1", fp, build)
+    assert df2.count() == 100 and len(calls) == 1  # cache hit: no rebuild
+    # fingerprint change invalidates
+    ck.stage("s1", {"param": 2}, build)
+    assert len(calls) == 2
+    m = ck.load_manifest("s1")
+    assert m["row_count"] == 100
+    assert sum(m["partition_counts"].values()) == 100
+    assert m["fingerprint"] == {"param": 2}
+
+
+def test_fingerprint_source_changes_on_touch(tmp_path):
+    f = tmp_path / "x.bin"
+    f.write_bytes(b"abc")
+    fp1 = fingerprint_source(str(f))
+    f.write_bytes(b"abcd")
+    fp2 = fingerprint_source(str(f))
+    assert fp1 != fp2
+    assert fp1["size"] == 3 and fp2["size"] == 4
+
+
+def test_pages_job_end_to_end_and_resume(spark, tmp_path):
+    """Drive jobs/pages_job.py logic: run, then re-run → all stages hit."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    cmd = [
+        sys.executable, "/root/repo/jobs/pages_job.py",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--output", out, "--checkpoint-dir", ckpt,
+    ]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=420)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    manifests = {
+        f for f in os.listdir(ckpt) if f.endswith(".manifest.json")
+    }
+    assert manifests == {
+        "pages.manifest.json", "extracted.manifest.json",
+        "assigned.manifest.json", "rollup.manifest.json",
+    }
+    first_mtime = os.path.getmtime(os.path.join(ckpt, "assigned.parquet"))
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=420)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    # resume: the assigned stage parquet was NOT rewritten
+    assert os.path.getmtime(os.path.join(ckpt, "assigned.parquet")) == first_mtime
+    result = spark.read.parquet(out).toPandas()
+    assert result["page_count"].sum() == 500
+    assert result["text_mismatches"].sum() == 0
