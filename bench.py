@@ -146,10 +146,17 @@ def run_relational(spark: SparkSession, sf_dir: str) -> dict:
     timings = {}
     bench_set = (
         "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
         "top3_orders_per_customer",
         "orders_customer_match_rate",
         "event_type_top8",
         "pages_zone_pip",
+        "zone_intersect_lines",
+        "chordify_contraction",
+        "knn_segment_match",
+        "minhash_lsh_dedup",
+        "ann_cosine_topk",
+        "text_analysis",
     )
     qs = m.queries()
     for name in bench_set:
