@@ -159,11 +159,17 @@ def run_relational(spark: SparkSession, sf_dir: str) -> dict:
         "text_analysis",
     )
     qs = m.queries()
+    heavy = {
+        "zone_intersect_lines",
+        "chordify_contraction",
+        "knn_segment_match",
+        "minhash_lsh_dedup",
+    }
     for name in bench_set:
         if name not in qs:
             continue
         best = None
-        for _ in range(2):
+        for _ in range(1 if name in heavy else 2):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
