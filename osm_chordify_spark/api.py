@@ -1,0 +1,295 @@
+"""Public API facade — the reference's 13 exported functions, Spark-first.
+
+Mirrors ``osm_chordify.__init__`` (reference:
+src/osm_chordify/__init__.py:5-19) name-for-name so a user of the
+reference can switch imports and keep their call sites, with
+GeoDataFrames replaced by DataFrames and zone tables by
+``operators.intersect.Zones`` (paths and record lists are auto-coerced).
+
+Network-dependent steps of the reference (Overpass/Census downloads)
+are out of scope by design — the builds here start from provided
+node/edge/zone tables (the sandbox has no network, and at 100 TB the
+inputs come from a lake anyway).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_chordify_spark import geom as G
+from osm_chordify_spark.operators import diagnostics as DG
+from osm_chordify_spark.operators import graph as GR
+from osm_chordify_spark.operators import intersect as I
+from osm_chordify_spark.operators.knn import knn_match, segment_midpoints
+from osm_chordify_spark.operators.process_tags import process_tags
+from osm_chordify_spark.sources import io as IO
+
+__all__ = [
+    "build_osm_by_pop_density",
+    "build_area_mask_from_counties",
+    "create_osm_highway_filter",
+    "export_network",
+    "intersect_polygons_with_zones",
+    "intersect_road_polygons_with_zones",
+    "intersect_road_network_with_zones",
+    "intersect_zones_with_zones",
+    "map_osm_with_beam_network",
+    "match_road_network_geometries",
+    "diagnose_osm",
+    "intersect_road_network_with_county_zones",
+    "spatial_left_join_with_zones",
+]
+
+
+def _as_zones(zones) -> I.Zones:
+    if isinstance(zones, I.Zones):
+        return zones
+    return I.Zones.from_records(zones)
+
+
+def _as_df(spark: SparkSession, src) -> DataFrame:
+    return IO.load_table(spark, src)
+
+
+# -- spatial joins -----------------------------------------------------------
+
+
+def intersect_road_network_with_zones(
+    road_network, zones, *, zone_label=None, include_void_zones=False,
+    output_path=None, spark=None, **kw
+) -> DataFrame:
+    """Lines × zones proportional-length intersection
+    (reference intersect.py:586-884)."""
+    spark = spark or SparkSession.active()
+    edges = _as_df(spark, road_network)
+    out = I.intersect_lines_with_zones(
+        edges, _as_zones(zones), zone_label=zone_label,
+        include_void_zones=include_void_zones, **kw
+    )
+    if output_path:
+        IO.save_table(out, output_path)
+    return out
+
+
+def intersect_road_network_with_county_zones(road_network, county_zones, **kw) -> DataFrame:
+    """County wrapper (reference main.py) — the containment fast path is
+    automatic here (full-cell classification), no row-count gate."""
+    return intersect_road_network_with_zones(road_network, county_zones, **kw)
+
+
+def intersect_road_polygons_with_zones(
+    road_polygons, zones, *, zone_label=None, output_path=None, spark=None, **kw
+) -> DataFrame:
+    """Polygon links × zones, area-based proportions
+    (reference intersect.py:1057-1230)."""
+    spark = spark or SparkSession.active()
+    out = I.intersect_polygons_with_zones(
+        _as_df(spark, road_polygons), _as_zones(zones), zone_label=zone_label, **kw
+    )
+    if output_path:
+        IO.save_table(out, output_path)
+    return out
+
+
+def intersect_polygons_with_zones(
+    polygons, zones, *, zone_label=None, output_path=None, spark=None, **kw
+) -> DataFrame:
+    """Cascade variant: zone_piece_* metric names
+    (reference intersect.py:1234-1494)."""
+    spark = spark or SparkSession.active()
+    kw.setdefault("cascade", True)
+    out = I.intersect_polygons_with_zones(
+        _as_df(spark, polygons), _as_zones(zones), zone_label=zone_label, **kw
+    )
+    if output_path:
+        IO.save_table(out, output_path)
+    return out
+
+
+def intersect_zones_with_zones(
+    zones_a, zones_b, *, output_path=None, spark=None, include_metrics=False
+) -> DataFrame:
+    """Zone overlay: polygonal intersection pieces with zone_a_*/zone_b_*
+    prefixed attributes (reference intersect.py:1557-1611; the reference
+    emits no metric columns — pass include_metrics=True to keep ours)."""
+    spark = spark or SparkSession.active()
+    a = _as_df(spark, zones_a)
+    for c in a.columns:
+        if c != "geometry":
+            a = a.withColumnRenamed(c, f"zone_a_{c}")
+    out = I.intersect_polygons_with_zones(
+        a, _as_zones(zones_b), zone_label="zone_b", length_col=None
+    )
+    if not include_metrics:
+        metric_cols = set(I.polygon_metric_names("zone_b").values())
+        keep = [
+            c for c in out.columns
+            if c == "geometry"
+            or (c.startswith(("zone_a_", "zone_b_")) and c not in metric_cols)
+        ]
+        out = out.select(*keep)
+    if output_path:
+        IO.save_table(out, output_path)
+    return out
+
+
+def spatial_left_join_with_zones(
+    df, zones, *, zone_label=None, output_path=None, spark=None, **kw
+) -> DataFrame:
+    """Left spatial join (reference intersect.py:1497-1554)."""
+    spark = spark or SparkSession.active()
+    out = I.spatial_left_join_with_zones(
+        _as_df(spark, df), _as_zones(zones), zone_label=zone_label, **kw
+    )
+    if output_path:
+        IO.save_table(out, output_path)
+    return out
+
+
+# -- network build / matching -------------------------------------------------
+
+
+def build_osm_by_pop_density(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    consolidate_tolerance_m: float | None = 2.0,
+    edge_attrs_differ=("highway", "lanes", "maxspeed", "bridge", "tunnel",
+                       "layer_role", "protected_backbone"),
+    weight_unit: str = "tons",
+    mdv_max: float = 4.5,
+    hdv_max: float = 12.0,
+) -> tuple[DataFrame, DataFrame]:
+    """The reference's build pipeline (reference osm/graph.py:742-1006)
+    from provided node/edge tables: process tags → consolidate →
+    chordify → edge ids → validate topology → largest component.
+    (The reference's Overpass/Census download layers are out of scope —
+    no network; density filtering is `percent_rank` over provided
+    boundary tables, see driver query acctbal_percent_rank.)"""
+    edges = process_tags(
+        edges, target_unit=weight_unit, mdv_max=mdv_max, hdv_max=hdv_max
+    )
+    if consolidate_tolerance_m:
+        nodes, edges = GR.consolidate_nodes(nodes, edges, consolidate_tolerance_m)
+    edges = GR.chordify(edges, edge_attrs_differ=list(edge_attrs_differ))
+    edges = GR.create_unique_edge_id(edges)
+    nodes, edges = GR.validate_topology(nodes, edges)
+    nodes, edges = GR.largest_component(nodes, edges)
+    return nodes, edges
+
+
+def match_road_network_geometries(
+    a: DataFrame, b: DataFrame, *, k: int = 1, res: int = 10,
+    a_id: str = "a_id", b_id: str = "b_id",
+    a_xy=("x", "y"), b_xy=("mx", "my"),
+) -> DataFrame:
+    """kNN geometry matching — spec'd but NotImplementedError in the
+    reference (main.py:219-265); implemented here via cell-ring kNN.
+    Output columns a_id / b_id / dist / rank (the a_*/b_* contract)."""
+    return knn_match(
+        a, b, k=k, res=res, point_id=a_id, seg_id=b_id,
+        point_xy=a_xy, seg_xy=b_xy,
+    )
+
+
+def map_osm_with_beam_network(
+    network_csv, osm_table, *, network_id_col: str = "attributeOrigId",
+    osm_id_col: str = "osm_id", output_path=None, spark=None,
+) -> DataFrame:
+    """BEAM CSV ↔ OSM inner equi-join with dropna + int-cast on both
+    keys and match-rate telemetry (reference utils/network.py:10-59 +
+    main.py:98-167)."""
+    spark = spark or SparkSession.active()
+    net = _as_df(spark, network_csv)
+    osm = _as_df(spark, osm_table)
+    net = net.filter(F.col(network_id_col).isNotNull()).withColumn(
+        network_id_col, F.col(network_id_col).cast("long")
+    )
+    osm = osm.filter(F.col(osm_id_col).isNotNull()).withColumn(
+        osm_id_col, F.col(osm_id_col).cast("long")
+    )
+    joined = net.join(osm, net[network_id_col] == osm[osm_id_col], "inner")
+    total = net.select(F.countDistinct(network_id_col)).collect()[0][0]
+    matched = joined.select(F.countDistinct(network_id_col)).collect()[0][0]
+    rate = matched / total if total else 0.0
+    print(f"map_osm_with_beam_network: matched {matched}/{total} ids ({rate:.1%})")
+    if output_path:
+        IO.save_table(joined, output_path)
+    return joined
+
+
+# -- utilities ----------------------------------------------------------------
+
+
+def build_area_mask_from_counties(
+    counties, *, use_convex_hull: bool = True, buffer_m: float = 0.0
+):
+    """Fused area mask from county polygons (reference
+    utils/geo.py:153-201): union → convex hull (+ approximate outward
+    buffer).  Driver-side by design — the mask is a single small
+    polygon broadcast to the job."""
+    zones = _as_zones(counties)
+    pts = np.vstack(
+        [G.ring_close(rings[0]) for polys in zones.geoms for rings in polys]
+    )
+    if use_convex_hull:
+        ring = G.convex_hull(pts)
+    else:
+        x0, y0 = pts.min(axis=0)
+        x1, y1 = pts.max(axis=0)
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+    if buffer_m:
+        c = ring.mean(axis=0)
+        d = ring - c
+        norm = np.sqrt((d**2).sum(axis=1, keepdims=True))
+        norm[norm == 0] = 1.0
+        ring = ring + d / norm * buffer_m  # approximate vertex offset
+    return [ring]
+
+
+def create_osm_highway_filter(highway_types) -> str:
+    """Highway list → Overpass-style regex filter string
+    (reference utils/geo.py:45-58)."""
+    return f'["highway"~"^({"|".join(highway_types)})$"]'
+
+
+def export_network(
+    nodes: DataFrame, edges: DataFrame, output_dir: str, name: str = "network",
+    formats=("parquet", "csv", "json"),
+) -> dict:
+    """Multi-format export fan-out (reference osm/export.py:27-120;
+    GraphML/PBF/XML are GDAL/libosmium territory — parquet/csv/json
+    cover the lake-native surface)."""
+    import os
+
+    out = {}
+    for fmt in formats:
+        npath = os.path.join(output_dir, f"{name}_nodes.{fmt}")
+        epath = os.path.join(output_dir, f"{name}_edges.{fmt}")
+        IO.save_table(nodes, npath, fmt=fmt)
+        IO.save_table(edges, epath, fmt=fmt)
+        out[fmt] = {"nodes": npath, "edges": epath}
+    return out
+
+
+def diagnose_osm(nodes: DataFrame, edges: DataFrame, length_col: str = "length") -> dict:
+    """Graph diagnostics bundle (reference main.py:431-521 +
+    osm/graph.py:477-560): quality summary, invalid coords, histogram."""
+    quality = DG.edge_quality_summary(edges, length_col=length_col).collect()[0].asDict()
+    bad_coords = DG.invalid_coordinates(nodes).count()
+    comp = GR.connected_components(
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    sizes = [
+        r["count"]
+        for r in comp.groupBy("component").count()
+        .orderBy(F.desc("count")).limit(10).collect()
+    ]
+    return {
+        "edge_quality": quality,
+        "invalid_coordinate_nodes": bad_coords,
+        "top_component_sizes": sizes,
+    }

@@ -417,6 +417,26 @@ def polygon_label_point(rings) -> tuple[float, float]:
     return float(bx_), float(y)
 
 
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Monotone-chain convex hull; returns CCW ring (n, 2)."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
 # ---------------------------------------------------------------------------
 # minimal WKB codec (little-endian; Point, LineString, Polygon, Multi*)
 

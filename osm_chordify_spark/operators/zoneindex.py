@@ -127,26 +127,26 @@ class ZoneIndex:
     # -- probes ------------------------------------------------------------
 
     def candidates_for_points(self, x: np.ndarray, y: np.ndarray):
-        """Vectorized: point arrays → (point_idx, zone_ordinal, needs_exact)
-        candidate triples as flat arrays."""
+        """Fully vectorized: point arrays → (point_idx, zone_ordinal,
+        needs_exact) candidate triples as flat arrays (no Python loop —
+        CSR range expansion via the repeat/cumsum trick)."""
         pc = ci.cell_at(x, y, self.res, self.world)
-        pos = np.searchsorted(self.cells, pc)
-        pos = np.clip(pos, 0, len(self.cells) - 1) if len(self.cells) else pos
-        hit = len(self.cells) > 0
-        valid = hit & (self.cells[pos] == pc) if hit else np.zeros(len(pc), bool)
-        pts, zones, needs = [], [], []
+        if len(self.cells) == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return empty, empty.astype(np.int32), empty.astype(bool)
+        pos = np.clip(np.searchsorted(self.cells, pc), 0, len(self.cells) - 1)
+        valid = self.cells[pos] == pc
         idx = np.nonzero(valid)[0]
-        for i in idx:
-            s, e = self.offsets[pos[i]], self.offsets[pos[i] + 1]
-            for j in range(s, e):
-                pts.append(i)
-                zones.append(self.cand_zone[j])
-                needs.append(not self.cand_full[j])
-        return (
-            np.asarray(pts, dtype=np.int64),
-            np.asarray(zones, dtype=np.int32),
-            np.asarray(needs, dtype=bool),
-        )
+        starts = self.offsets[pos[idx]]
+        counts = self.offsets[pos[idx] + 1] - starts
+        total = int(counts.sum())
+        if total == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return empty, empty.astype(np.int32), empty.astype(bool)
+        pts = np.repeat(idx, counts)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        flat = np.arange(total, dtype=np.int64) + np.repeat(starts - offs, counts)
+        return pts, self.cand_zone[flat], ~self.cand_full[flat]
 
     def assign_points(self, x: np.ndarray, y: np.ndarray):
         """Point-in-polygon assignment (possibly multiple zones per point).
@@ -170,20 +170,21 @@ class ZoneIndex:
         return pts[keep], zones[keep]
 
     def candidates_for_cells(self, cells: np.ndarray):
-        """cells (already at self.res) → (cell_pos_idx, zone_ordinal, full)."""
-        pos = np.searchsorted(self.cells, cells)
-        pos = np.clip(pos, 0, max(len(self.cells) - 1, 0))
-        valid = (
-            (self.cells[pos] == cells) if len(self.cells) else np.zeros(len(cells), bool)
-        )
-        out_i, out_z, out_f = [], [], []
-        for i in np.nonzero(valid)[0]:
-            s, e = self.offsets[pos[i]], self.offsets[pos[i] + 1]
-            out_i.extend([i] * (e - s))
-            out_z.extend(self.cand_zone[s:e].tolist())
-            out_f.extend(self.cand_full[s:e].tolist())
-        return (
-            np.asarray(out_i, dtype=np.int64),
-            np.asarray(out_z, dtype=np.int32),
-            np.asarray(out_f, dtype=bool),
-        )
+        """cells (already at self.res) → (cell_pos_idx, zone_ordinal, full)
+        — same vectorized CSR expansion as candidates_for_points."""
+        if len(self.cells) == 0 or len(cells) == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return empty, empty.astype(np.int32), empty.astype(bool)
+        pos = np.clip(np.searchsorted(self.cells, cells), 0, len(self.cells) - 1)
+        valid = self.cells[pos] == cells
+        idx = np.nonzero(valid)[0]
+        starts = self.offsets[pos[idx]]
+        counts = self.offsets[pos[idx] + 1] - starts
+        total = int(counts.sum())
+        if total == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return empty, empty.astype(np.int32), empty.astype(bool)
+        out_i = np.repeat(idx, counts)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        flat = np.arange(total, dtype=np.int64) + np.repeat(starts - offs, counts)
+        return out_i, self.cand_zone[flat], self.cand_full[flat]
