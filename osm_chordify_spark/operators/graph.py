@@ -395,6 +395,53 @@ def create_unique_edge_id(edges: DataFrame) -> DataFrame:
     return edges.withColumn("edge_id", F.substring(F.md5(payload), 1, 12))
 
 
+def add_edge_speeds(edges: DataFrame, global_default_kph: float = 40.0) -> DataFrame:
+    """Impute ``speed_kph`` from maxspeed → highway-type mean → global
+    mean (reference graph.py:904 via ox.add_edge_speeds).
+
+    Parsed speeds come from the maxspeed standardizer's mph output;
+    the type-mean fallback is a broadcast groupBy-avg join."""
+    from osm_chordify_spark.functions.tags import standardize_maxspeed
+
+    mph = F.regexp_extract(
+        standardize_maxspeed(F.col("maxspeed")), r"^(\d+)", 1
+    ).try_cast("double")
+    parsed = edges.withColumn("__kph", mph * F.lit(1.60934))
+    type_means = parsed.groupBy("highway").agg(F.avg("__kph").alias("__type_kph"))
+    global_mean_row = parsed.agg(F.avg("__kph")).collect()[0][0]
+    global_mean = (
+        float(global_mean_row) if global_mean_row is not None else global_default_kph
+    )
+    return (
+        parsed.join(F.broadcast(type_means), "highway", "left")
+        .withColumn(
+            "speed_kph",
+            F.coalesce(F.col("__kph"), F.col("__type_kph"), F.lit(global_mean)),
+        )
+        .drop("__kph", "__type_kph")
+    )
+
+
+def filter_boundaries_by_density(
+    boundaries: DataFrame,
+    population_col: str = "population",
+    area_m2_col: str = "area_m2",
+    min_density_pctile: float = 50.0,
+) -> DataFrame:
+    """Population-density percentile filter (reference
+    utils/data_collection.py:330-443): density = pop / (area/1e6) km²,
+    percentile rank ×100, keep rows ≥ min_density_pctile."""
+    dens = F.col(population_col) / (F.col(area_m2_col) / F.lit(1e6))
+    w = Window.orderBy(F.col("__density"), F.col(population_col))
+    return (
+        boundaries.withColumn("__density", dens)
+        .withColumn("density_per_km2", F.col("__density"))
+        .withColumn("density_pctile", F.percent_rank().over(w) * 100)
+        .filter(F.col("density_pctile") >= min_density_pctile)
+        .drop("__density")
+    )
+
+
 # ---------------------------------------------------------------------------
 # node consolidation + components retention
 

@@ -941,6 +941,86 @@ def tpch_q3(spark, sf_dir):
 
 
 @register(
+    "density_boundary_filter",
+    oracle="""
+with b as (
+  select n_nationkey as geoid,
+         (n_nationkey * 37 % 100 + 1) * 1e3 as population,
+         (n_nationkey % 7 + 1) * 1e6 as area_m2
+  from nation
+), d as (
+  select geoid, population, population / (area_m2 / 1e6) as density_per_km2
+  from b
+), r as (
+  select geoid, density_per_km2,
+         percent_rank() over (order by density_per_km2, population) * 100
+           as density_pctile
+  from d
+)
+select geoid, density_per_km2, density_pctile from r
+where density_pctile >= 50
+""",
+)
+def density_boundary_filter(spark, sf_dir):
+    """F6 population-density percentile filter as the real operator
+    (reference utils/data_collection.py:330-443)."""
+    from osm_chordify_spark.operators.graph import filter_boundaries_by_density
+
+    b = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("geoid"),
+        F.expr("(n_nationkey * 37 % 100 + 1) * 1e3").alias("population"),
+        F.expr("(n_nationkey % 7 + 1) * 1e6").alias("area_m2"),
+    )
+    out = filter_boundaries_by_density(b, min_density_pctile=50.0)
+    return out.select("geoid", "density_per_km2", "density_pctile")
+
+
+@register(
+    "add_edge_speeds",
+    oracle="""
+with e as (
+  select l_orderkey, l_linenumber,
+         case when l_linenumber % 2 = 0 then 'primary' else 'residential' end as highway,
+         case when l_linenumber % 3 = 0 then cast(cast(l_quantity as int) as varchar)
+              else null end as maxspeed
+  from lineitem
+), parsed as (
+  select *,
+         case when maxspeed is not null
+              then round(cast(maxspeed as double) / 1.60934) * 1.60934
+              else null end as kph
+  from e
+), means as (
+  select highway, avg(kph) as type_kph from parsed group by highway
+)
+select p.l_orderkey, p.l_linenumber,
+       coalesce(p.kph, m.type_kph) as speed_kph
+from parsed p join means m on p.highway = m.highway
+""",
+)
+def add_edge_speeds_q(spark, sf_dir):
+    """G9 speed imputation: parsed maxspeed → highway-type mean fallback
+    (reference graph.py:904).  Note: round() here is DuckDB half-even on
+    exact .5 only for odd integers /1.60934 — values are k/1.60934 with
+    k integral, never an exact tie."""
+    from osm_chordify_spark.operators.graph import add_edge_speeds
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") % 2 == 0, "primary")
+        .otherwise("residential")
+        .alias("highway"),
+        F.when(
+            F.col("l_linenumber") % 3 == 0,
+            F.col("l_quantity").cast("int").cast("string"),
+        ).alias("maxspeed"),
+    )
+    out = add_edge_speeds(li)
+    return out.select("l_orderkey", "l_linenumber", "speed_kph")
+
+
+@register(
     "props_tag_extract",
     oracle="""
 select event_type,

@@ -212,3 +212,38 @@ def test_largest_component(spark):
     kn, ke = GR.largest_component(nodes, edges)
     assert sorted(kn.toPandas()["node_id"]) == [1, 2, 3]
     assert len(ke.toPandas()) == 2
+
+
+def test_add_edge_speeds(spark):
+    pdf = pd.DataFrame(
+        {
+            "u": [1, 2, 3, 4],
+            "v": [2, 3, 4, 5],
+            "key": [0] * 4,
+            "highway": ["residential", "residential", "primary", "primary"],
+            "maxspeed": ["50", None, "30 mph", None],
+        }
+    )
+    out = GR.add_edge_speeds(spark.createDataFrame(pdf)).toPandas().sort_values("u")
+    # "50" kph → 31 mph → back to 31*1.60934 kph
+    assert abs(out.iloc[0]["speed_kph"] - 31 * 1.60934) < 1e-9
+    # missing residential falls back to the residential type mean (= row 0's)
+    assert out.iloc[1]["speed_kph"] == out.iloc[0]["speed_kph"]
+    assert abs(out.iloc[2]["speed_kph"] - 30 * 1.60934) < 1e-9
+    assert out.iloc[3]["speed_kph"] == out.iloc[2]["speed_kph"]
+
+
+def test_filter_boundaries_by_density(spark):
+    pdf = pd.DataFrame(
+        {
+            "GEOID": ["a", "b", "c", "d"],
+            "population": [100.0, 1000.0, 5000.0, 10.0],
+            "area_m2": [1e6, 1e6, 1e6, 1e6],
+        }
+    )
+    out = GR.filter_boundaries_by_density(
+        spark.createDataFrame(pdf), min_density_pctile=50.0
+    ).toPandas()
+    assert sorted(out["GEOID"]) == ["b", "c"]
+    assert (out["density_pctile"] >= 50.0).all()
+    assert out.loc[out.GEOID == "c", "density_per_km2"].iloc[0] == 5000.0
