@@ -1021,6 +1021,53 @@ def add_edge_speeds_q(spark, sf_dir):
 
 
 @register(
+    "events_sessionization",
+    oracle="""
+with marked as (
+  select user_id, ts,
+         case when ts - lag(ts) over (partition by user_id order by ts, event_id)
+                   > interval 30 minutes
+              or lag(ts) over (partition by user_id order by ts, event_id) is null
+              then 1 else 0 end as new_session,
+         event_id
+  from events
+), numbered as (
+  select user_id, event_id,
+         sum(new_session) over (partition by user_id
+                                order by ts, event_id
+                                rows unbounded preceding) as session_no
+  from marked
+)
+select user_id, session_no, count(*) as n_events
+from numbered group by user_id, session_no
+""",
+)
+def events_sessionization(spark, sf_dir):
+    """Gap-based sessionization (lag + running sum of session starts) —
+    the event-time window pattern complementing the streaming module."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ: direct long casts are forbidden; use
+    # microsecond epochs so the gap compare matches the oracle's exact
+    # interval comparison (session tz is UTC on both engines)
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    lag_micros = F.unix_micros(F.lag("ts").over(w).cast("timestamp_ltz"))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            lag_micros.isNull() | (micros - lag_micros > 30 * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+@register(
     "props_tag_extract",
     oracle="""
 select event_type,

@@ -236,3 +236,40 @@ def test_concave_zone_exact(spark):
     r = out.iloc[0]
     assert r["zone_link_length_m"] == 4.0  # only x in [0,4] at y=8
     assert r["zone_edge_proportion"] == round(4.0 / 14.0, 4)
+
+
+def test_chained_labeled_intersections_prefix_rules(spark, line_edges):
+    """reference tests/test_intersect.py:948-996
+    (test_chained_intersections_do_not_double_zone_label_prefixes):
+    label prefixes never stack on the zone side; the first join's zone
+    attrs become edge_-prefixed carried attrs on the second."""
+    inmap = I.Zones.from_records(
+        [
+            {
+                "inmap_cell_id": "i1",
+                "geometry": [np.array([[0.0, -1.0], [10.0, -1.0], [10.0, 1.0], [0.0, 1.0]])],
+            }
+        ]
+    )
+    aermod = I.Zones.from_records(
+        [
+            {
+                "aermod_cell_id": "a1",
+                "geometry": [np.array([[0.0, -1.0], [5.0, -1.0], [5.0, 1.0], [0.0, 1.0]])],
+            }
+        ]
+    )
+    first = I.intersect_lines_with_zones(line_edges, inmap, zone_label="inmap")
+    second = I.intersect_lines_with_zones(first, aermod, zone_label="aermod")
+    assert "inmap_inmap_cell_id" not in first.columns
+    assert "inmap_cell_id" in first.columns
+    cols = second.columns
+    assert "aermod_aermod_cell_id" not in cols
+    assert "edge_inmap_inmap_cell_id" not in cols
+    assert "aermod_cell_id" in cols
+    assert "edge_inmap_cell_id" in cols
+    r = second.toPandas().iloc[0]
+    assert r["aermod_cell_id"] == "a1"
+    assert r["edge_inmap_cell_id"] == "i1"
+    # second intersection: 10m piece clipped to 5m
+    assert r["aermod_zone_edge_proportion"] == 0.5
