@@ -1067,6 +1067,24 @@ def events_sessionization(spark, sf_dir):
     )
 
 
+@register("media_decode_features")  # rows-only: stubbed decode (no imaging libs)
+def media_decode_features(spark, sf_dir):
+    """Multimodal plumbing: synthesize binary media, parse typed
+    metadata, run the (stubbed) decode, emit byte-histogram embeddings
+    consumable by the ANN operators."""
+    from osm_chordify_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = MM.synthesize_media(docs)
+    decoded = MM.decode_image_stub(MM.attach_media_metadata(media))
+    return decoded.select(
+        "doc_id",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.round(F.col("decoded.mean_px"), 4).alias("mean_px"),
+    )
+
+
 @register(
     "props_tag_extract",
     oracle="""
