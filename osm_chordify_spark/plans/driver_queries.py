@@ -1086,6 +1086,53 @@ def media_decode_features(spark, sf_dir):
 
 
 @register(
+    "orders_status_priority_cube",
+    oracle="""
+select coalesce(o_orderstatus, 'ALL') as status,
+       coalesce(o_orderpriority, 'ALL') as priority,
+       count(*) as n,
+       cast(round(sum(cast(o_totalprice as decimal(18,2))), 2) as double) as total
+from orders
+group by cube (o_orderstatus, o_orderpriority)
+""",
+)
+def orders_status_priority_cube(spark, sf_dir):
+    """CUBE rollup (beyond-reference: the reference has no grouping
+    sets — SURVEY §2.4 note — but a lake engine needs them)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+select c_custkey from customer
+where c_custkey not in (select o_custkey from orders where o_custkey is not null)
+""",
+)
+def customers_without_orders(spark, sf_dir):
+    """Anti-join (U5 set-difference pattern: removed = all − matched,
+    reference graph.py:995)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
     "props_tag_extract",
     oracle="""
 select event_type,
