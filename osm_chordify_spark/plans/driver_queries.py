@@ -772,10 +772,10 @@ from osm_chordify_spark.operators.process_tags import process_tags as _PT  # noq
     "edge_quality_summary",
     oracle="""
 select count(*) as n_edges,
-       0 as missing_length,
-       sum(case when l_quantity <= 0 then 1 else 0 end) as nonpositive_length,
-       sum(case when l_quantity < 15e0 then 1 else 0 end) as short_links,
-       sum(case when l_quantity > 1e4 then 1 else 0 end) as long_links,
+       cast(0 as bigint) as missing_length,
+       cast(sum(case when l_quantity <= 0 then 1 else 0 end) as bigint) as nonpositive_length,
+       cast(sum(case when l_quantity < 15e0 then 1 else 0 end) as bigint) as short_links,
+       cast(sum(case when l_quantity > 1e4 then 1 else 0 end) as bigint) as long_links,
        min(l_extendedprice) as speed_min,
        max(l_extendedprice) as speed_max
 from lineitem
@@ -1137,7 +1137,7 @@ def customers_without_orders(spark, sf_dir):
     oracle="""
 select event_type,
        count(*) as n_events,
-       sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1) as bigint)) as k_total
+       cast(sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1) as bigint)) as bigint) as k_total
 from events
 group by event_type
 """,
