@@ -835,7 +835,7 @@ def token_frequency_by_lang(spark, sf_dir):
 select cast(quantile_cont(l_quantity, 0.25) as double) as q25,
        cast(quantile_cont(l_quantity, 0.50) as double) as q50,
        cast(quantile_cont(l_quantity, 0.75) as double) as q75,
-       cast(avg(cast(l_quantity as decimal(18,2))) as double) as mean_qty
+       cast(round(avg(cast(l_quantity as decimal(18,2))), 4) as double) as mean_qty
 from lineitem
 """,
 )
@@ -846,7 +846,9 @@ def percentile_summary(spark, sf_dir):
         F.expr("percentile(l_quantity, 0.25)").alias("q25"),
         F.expr("percentile(l_quantity, 0.50)").alias("q50"),
         F.expr("percentile(l_quantity, 0.75)").alias("q75"),
-        F.avg(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("mean_qty"),
+        F.round(F.avg(F.col("l_quantity").cast("decimal(18,2)")), 4)
+        .cast("double")
+        .alias("mean_qty"),
     )
 
 
