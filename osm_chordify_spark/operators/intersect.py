@@ -254,9 +254,11 @@ def intersect_lines_with_zones(
         idx: ZoneIndex = b_index.value
         zattrs: pd.DataFrame = b_attrs.value
         zgeoms = b_geoms.value
+        zone_rows = zattrs.to_dict("records")  # cheap scalar access
         for pdf in batches:
             out_rows = []
             geoms = pdf["geometry"].tolist()
+            attr_vals = {c: pdf[c].tolist() for c in edge_attr_cols}
             for r in range(len(pdf)):
                 lines = G.geometry_lines(bytes(geoms[r]))
                 # covering cells of the whole edge at index res
@@ -298,8 +300,8 @@ def intersect_lines_with_zones(
                             else G.wkb_multilinestring(pieces)
                         )
                     for cname in edge_attr_cols:
-                        row[edge_renames[cname]] = pdf.iloc[r][cname]
-                    zrow = zattrs.iloc[int(z)]
+                        row[edge_renames[cname]] = attr_vals[cname][r]
+                    zrow = zone_rows[int(z)]
                     for cname in zattrs.columns:
                         row[zone_renames[cname]] = zrow[cname]
                     out_rows.append(row)
@@ -416,9 +418,16 @@ def intersect_polygons_with_zones(
         idx: ZoneIndex = b_index.value
         zattrs: pd.DataFrame = b_attrs.value
         zgeoms = b_geoms.value
+        zone_rows = zattrs.to_dict("records")
         for pdf in batches:
             out_rows = []
             geoms = pdf["geometry"].tolist()
+            attr_vals = {c: pdf[c].tolist() for c in edge_attr_cols}
+            len_vals = (
+                pdf[length_col].tolist()
+                if length_col and length_col in pdf.columns
+                else None
+            )
             for r in range(len(pdf)):
                 subj_polys = G.geometry_polygons(bytes(geoms[r]))
                 x0 = min(G.polygon_bbox(p)[0] for p in subj_polys)
@@ -431,11 +440,7 @@ def intersect_polygons_with_zones(
                 if len(zcand) == 0:
                     continue
                 subj_area = round(sum(G.polygon_area(p) for p in subj_polys), 2)
-                full_len = (
-                    float(pdf.iloc[r][length_col])
-                    if length_col and length_col in pdf.columns
-                    else None
-                )
+                full_len = float(len_vals[r]) if len_vals is not None else None
                 n_cells = len(cover)
                 for z in np.unique(zcand):
                     zmask = zcand == z
@@ -470,8 +475,8 @@ def intersect_polygons_with_zones(
                     if keep_geometry:
                         row["geometry"] = pieces_wkb
                     for cname in edge_attr_cols:
-                        row[edge_renames[cname]] = pdf.iloc[r][cname]
-                    zrow = zattrs.iloc[int(z)]
+                        row[edge_renames[cname]] = attr_vals[cname][r]
+                    zrow = zone_rows[int(z)]
                     for cname in zattrs.columns:
                         row[zone_renames[cname]] = zrow[cname]
                     out_rows.append(row)
@@ -518,9 +523,11 @@ def spatial_left_join_with_zones(
         idx: ZoneIndex = b_index.value
         zattrs: pd.DataFrame = b_attrs.value
         zgeoms = b_geoms.value
+        zone_rows = zattrs.to_dict("records")
         for pdf in batches:
             out_rows = []
             geoms = pdf["geometry"].tolist()
+            base_rows = pdf.to_dict("records")
             for r in range(len(pdf)):
                 if geometry_kind == "line":
                     parts = G.geometry_lines(bytes(geoms[r]))
@@ -557,7 +564,7 @@ def spatial_left_join_with_zones(
                             break
                     if touched:
                         hits.append(z)
-                base = pdf.iloc[r].to_dict()
+                base = base_rows[r]
                 if not hits:
                     row = dict(base)
                     for cname in zattrs.columns:
@@ -566,7 +573,7 @@ def spatial_left_join_with_zones(
                 else:
                     for z in hits:
                         row = dict(base)
-                        zrow = zattrs.iloc[int(z)]
+                        zrow = zone_rows[int(z)]
                         for cname in zattrs.columns:
                             row[zone_renames[cname]] = zrow[cname]
                         out_rows.append(row)
