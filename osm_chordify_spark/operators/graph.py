@@ -79,12 +79,14 @@ def connected_components(
             labels.join(nmin, labels.id == nmin.a, "left")
             .select(
                 F.col("id"),
+                F.col("label").alias("old"),
                 F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
                     "label"
                 ),
             )
         )
-        # pointer doubling: label ← min(label, label[label])
+        # pointer doubling: label ← min(label, label[label]); the old
+        # label rides along so convergence needs no extra join
         lk = stepped.select(
             F.col("id").alias("lid"), F.col("label").alias("l2")
         )
@@ -92,20 +94,15 @@ def connected_components(
             stepped.join(lk, stepped.label == lk.lid, "left")
             .select(
                 "id",
+                "old",
                 F.least(F.col("label"), F.coalesce(F.col("l2"), F.col("label"))).alias(
                     "label"
                 ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            doubled.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = doubled
+        changed = doubled.filter(F.col("label") != F.col("old")).limit(1).count()
+        labels = doubled.drop("old")
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("component"))
