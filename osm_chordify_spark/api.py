@@ -162,13 +162,19 @@ def build_osm_by_pop_density(
     weight_unit: str = "tons",
     mdv_max: float = 4.5,
     hdv_max: float = 12.0,
+    impute_speeds: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """The reference's build pipeline (reference osm/graph.py:742-1006)
-    from provided node/edge tables: process tags → consolidate →
-    chordify → edge ids → validate topology → largest component.
+    from provided node/edge tables: impute speeds → process tags →
+    consolidate → chordify → edge ids → validate topology → largest
+    component.  The speed step matches the reference's ox.add_edge_speeds
+    call before process_tags (reference graph.py:904) so chordify's
+    mean-speed aggregation has speed_kph to work with.
     (The reference's Overpass/Census download layers are out of scope —
     no network; density filtering is `percent_rank` over provided
     boundary tables, see driver query acctbal_percent_rank.)"""
+    if impute_speeds:
+        edges = GR.add_edge_speeds(edges)
     edges = process_tags(
         edges, target_unit=weight_unit, mdv_max=mdv_max, hdv_max=hdv_max
     )

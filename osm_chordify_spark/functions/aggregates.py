@@ -36,10 +36,13 @@ def bool_any(c: Column) -> Column:
 def yes_no_all(c: Column) -> Column:
     """"no" if any "no" else "yes"; group of only-nulls ⇒ "yes" per the
     reference's membership test (simplify.py:254-273: any non-empty list
-    without "no" → "yes"); fully empty ⇒ None."""
+    without "no" → "yes"); fully empty ⇒ None.  The empty test counts
+    non-null *values* (F.count(c)), not rows: OSMnx only collects present
+    attrs, so an all-null group is the reference's empty list and must
+    yield None, not "yes"."""
     return (
         F.when(F.max(F.when(c == "no", 1).otherwise(0)) == 1, "no")
-        .when(F.count(F.lit(1)) > 0, "yes")
+        .when(F.count(c) > 0, "yes")
         .otherwise(F.lit(None).cast("string"))
     )
 

@@ -15,21 +15,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def salted(col: Column, n_salts: int = 16) -> Column:
-    """Deterministic salt bucket derived from a second hash of the row
-    (xxhash64 of the key + a spray from spark_partition_id is NOT
-    deterministic across runs; monotonically varying rand() breaks
-    retries — so salt on a hash of the full row via input ordering is
-    avoided too.  We use pmod(xxhash64(col, seed-ish counter), n))."""
-    return F.pmod(F.xxhash64(col, F.monotonically_increasing_id()), F.lit(n_salts))
+def salted(col: Column, n_salts: int = 16, spread: Column | None = None) -> Column:
+    """Deterministic salt bucket: pmod(xxhash64(key, spread), n).
+
+    ``spread`` must be a second deterministic column (or tuple-hash of
+    the whole row) that varies within a hot key — the key alone maps
+    every hot row to one bucket.  rand(), spark_partition_id() and
+    monotonically_increasing_id() are all rejected here: they depend on
+    partition layout, so a task retry or AQE re-plan can re-salt rows
+    differently mid-job, which silently corrupts any NON-decomposable
+    reuse of this helper.  Value-identical rows share a bucket, which is
+    harmless for decomposable aggs and keeps the assignment stable."""
+    if spread is None:
+        raise ValueError(
+            "salted() needs a deterministic per-row spread column; "
+            "pass e.g. F.xxhash64(*df.columns)"
+        )
+    return F.pmod(F.xxhash64(col, spread), F.lit(n_salts))
 
 
 def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
     """Two-phase count: groupBy(key, salt) partial counts → groupBy(key)
     sum.  Result identical to ``groupBy(key).count()``; the hot key's
     rows spread over n_salts reducers in phase 1."""
+    spread = F.xxhash64(*[F.col(c) for c in df.columns])
     phase1 = (
-        df.withColumn("__salt", salted(F.col(key), n_salts))
+        df.withColumn("__salt", salted(F.col(key), n_salts, spread))
         .groupBy(key, "__salt")
         .agg(F.count("*").alias("__partial"))
     )
@@ -57,8 +68,9 @@ def salted_agg(df: DataFrame, key: str, aggs: dict, n_salts: int = 16) -> DataFr
             finals.append(F.max(f"__p_{out}").alias(out))
         else:
             raise ValueError(f"non-decomposable agg {kind!r}")
+    spread = F.xxhash64(*[F.col(c) for c in df.columns])
     phase1 = (
-        df.withColumn("__salt", salted(F.col(key), n_salts))
+        df.withColumn("__salt", salted(F.col(key), n_salts, spread))
         .groupBy(key, "__salt")
         .agg(*partials)
     )

@@ -237,14 +237,20 @@ def clip_poly_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
 
 
 def triangulate(ring: np.ndarray) -> list[np.ndarray]:
-    """Ear-clipping triangulation of a simple ring → list of (3, 2) arrays."""
+    """Ear-clipping triangulation of a simple ring → list of (3, 2) arrays.
+
+    A simple ring of n vertices always yields n-2 ears in < 2n clip
+    rounds, so the loop guard scales with the ring instead of a fixed
+    constant (a fixed 10k cap silently truncated large real-world zone
+    polygons and undercounted intersection areas)."""
     r = ring_close(ring)[:-1]
     if shoelace_area(r) < 0:
         r = r[::-1]
     idx = list(range(len(r)))
     tris: list[np.ndarray] = []
     guard = 0
-    while len(idx) > 3 and guard < 10000:
+    max_rounds = max(2 * len(r), 16)
+    while len(idx) > 3 and guard < max_rounds:
         guard += 1
         n = len(idx)
         ear_found = False
@@ -271,6 +277,16 @@ def triangulate(ring: np.ndarray) -> list[np.ndarray]:
             break  # degenerate input; fall through with what we have
     if len(idx) == 3:
         tris.append(np.vstack([r[idx[0]], r[idx[1]], r[idx[2]]]))
+    elif len(idx) > 3:
+        import warnings
+
+        warnings.warn(
+            f"triangulate: {len(idx)} of {len(r)} vertices left "
+            "untriangulated (degenerate or self-intersecting ring); "
+            "area metrics over this ring are a lower bound",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return tris
 
 

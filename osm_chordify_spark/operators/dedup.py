@@ -69,12 +69,26 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
     block_key: Column | None = None,
+    max_unblocked_rows: int = 100_000,
 ) -> DataFrame:
     """Similar pairs (id_a < id_b, jaccard ≥ threshold) via self-join.
 
     ``block_key`` restricts the self-join to matching blocks (e.g. a
     length bucket or a minhash band) — REQUIRED at scale; None means
-    all-pairs (verification/small data only)."""
+    all-pairs (verification/small data only), guarded by
+    ``max_unblocked_rows`` so a caller can't accidentally launch an
+    O(n²) cross join over a lake-sized table (use minhash_lsh_pairs
+    for that — the counting action here is the cheap price of the
+    guard on the small path only)."""
+    if block_key is None:
+        n_rows = df.count()
+        if n_rows > max_unblocked_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs without block_key is all-pairs "
+                f"(O(n²)); got {n_rows} rows > max_unblocked_rows="
+                f"{max_unblocked_rows}. Pass block_key or use "
+                "minhash_lsh_pairs at scale."
+            )
     grams = df.select(
         F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
     )
@@ -211,6 +225,26 @@ def shingles_and_signature_np(
     return fused(text)
 
 
+def jaccard_np(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two *sorted-unique* int64 array columns
+    (the shape shingles_and_signature_np emits), vectorized per Arrow
+    batch with np.intersect1d — replaces the interpreted
+    array_intersect/array_distinct HOF pipeline on large arrays."""
+
+    @F.pandas_udf("double")
+    def jac(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = np.empty(len(sa), dtype=np.float64)
+        for i, (xa, xb) in enumerate(zip(sa, sb)):
+            xa = np.asarray(xa, dtype=np.int64)
+            xb = np.asarray(xb, dtype=np.int64)
+            inter = np.intersect1d(xa, xb, assume_unique=True).size
+            union = xa.size + xb.size - inter
+            out[i] = inter / union if union else 0.0
+        return pd.Series(out)
+
+    return jac(a, b)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -219,22 +253,35 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 8,
     verify_threshold: float | None = 0.5,
+    verify: str = "exact",
 ) -> DataFrame:
     """Candidate duplicate pairs via banded minhash LSH, optionally
-    verified with exact shingle Jaccard.
+    verified with shingle Jaccard.
 
     bands buckets of num_perm/bands rows each: two docs collide when any
     band of their signatures hashes equal.  Candidate generation is an
     equi-join on (band_idx, band_hash) — a plain shuffled hash join that
-    AQE can split on skew."""
+    AQE can split on skew.  Only (id, band, bhash) travels through that
+    shuffle; shingle arrays (for verify="exact") or signatures (for
+    verify="estimate") are re-attached to the much smaller candidate set
+    by id afterwards, so full-text-sized arrays never fan out ×bands.
+
+    verify="exact"    — np.intersect1d Jaccard on the true shingle sets.
+    verify="estimate" — unbiased minhash estimate: fraction of agreeing
+                        signature positions (ships 8·num_perm bytes per
+                        side instead of the shingle set; the 100 TB path).
+    """
+    if verify not in ("exact", "estimate"):
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
     rows = num_perm // bands
     sig = df.select(
         F.col(id_col).alias("id"),
         shingles_and_signature_np(F.col(text_col), num_perm, shingle_k).alias("__ss"),
     ).select("id", F.col("__ss.sh").alias("sh"), F.col("__ss.sig").alias("sig"))
+    if verify_threshold is not None:
+        sig = sig.persist()
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -246,23 +293,30 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bs"),
-    ).select("id", "sh", F.col("bs.band").alias("band"), F.col("bs.bhash").alias("bhash"))
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bhash"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bhash"
-    )
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.bhash").alias("bhash"))
     cand = (
-        a.join(b, ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bhash"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify_threshold is None:
-        return cand.select("id_a", "id_b")
+        return cand
+    payload = "sh" if verify == "exact" else "sig"
+    attach = sig.select("id", payload)
+    cand = (
+        cand.join(attach.withColumnsRenamed({"id": "id_a", payload: "p_a"}), "id_a")
+        .join(attach.withColumnsRenamed({"id": "id_b", payload: "p_b"}), "id_b")
+    )
+    if verify == "exact":
+        jac = jaccard_np(F.col("p_a"), F.col("p_b"))
+    else:
+        jac = F.size(
+            F.filter(F.zip_with("p_a", "p_b", lambda x, y: x == y), lambda m: m)
+        ) / F.lit(float(num_perm))
     return (
-        cand.withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.withColumn("jac", jac)
         .filter(F.col("jac") >= verify_threshold)
         .select("id_a", "id_b", "jac")
     )
@@ -279,10 +333,23 @@ def minhash_lsh_dedup(
 # SimHash
 
 
+def _band_layout(n_bands: int) -> list[tuple[int, int]]:
+    """(offset, width) per band, partitioning all 64 bits: the first
+    64 % n_bands bands get one extra bit so no bit is left uncovered."""
+    base, extra = divmod(64, n_bands)
+    layout, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
 def simhash_and_bands(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bands: int = 4
 ) -> DataFrame:
-    """64-bit simhash of word tokens + n_bands 16-bit band values.
+    """64-bit simhash of word tokens + n_bands band values partitioning
+    the 64 bits (widths within ±1 bit of 64/n_bands).
 
     The bit fold (sum of ±1 per bit over token hashes) runs as one
     Arrow-batched NumPy UDF — vectorized popcount over the batch."""
@@ -309,13 +376,11 @@ def simhash_and_bands(
         return pd.Series(out)
 
     out = df.withColumn("simhash", fold(tokens_hashed))
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    for bi in range(n_bands):
+    for bi, (off, width) in enumerate(_band_layout(n_bands)):
         out = out.withColumn(
             f"simband_{bi}",
-            F.shiftrightunsigned(F.col("simhash"), bi * width).bitwiseAND(
-                F.lit(mask).cast("long")
+            F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+                F.lit((1 << width) - 1).cast("long")
             ),
         )
     return out
@@ -326,12 +391,22 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    n_bands: int = 4,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with hamming(simhash) ≤ max_hamming.
 
-    By pigeonhole, any pair within max_hamming ≤ n_bands - 1 shares at
-    least one exact band — candidates come from band equi-joins only."""
+    By pigeonhole, a pair differing in ≤ n_bands - 1 bits shares at
+    least one exact band — so recall is complete only when
+    n_bands > max_hamming.  n_bands defaults to max_hamming + 1 and an
+    explicit smaller value is rejected rather than silently dropping
+    pairs whose differing bits spread across every band."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands ({n_bands}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole recall guarantee"
+        )
     sh = simhash_and_bands(df, text_col, id_col, n_bands).select(
         F.col(id_col).alias("id"), "simhash", *[f"simband_{i}" for i in range(n_bands)]
     )

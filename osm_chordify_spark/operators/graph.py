@@ -400,15 +400,22 @@ def add_edge_speeds(edges: DataFrame, global_default_kph: float = 40.0) -> DataF
     the type-mean fallback is a broadcast groupBy-avg join."""
     from osm_chordify_spark.functions.tags import standardize_maxspeed
 
-    mph = F.regexp_extract(
-        standardize_maxspeed(F.col("maxspeed")), r"^(\d+)", 1
-    ).try_cast("double")
+    if "maxspeed" in edges.columns:
+        mph = F.regexp_extract(
+            standardize_maxspeed(F.col("maxspeed")), r"^(\d+)", 1
+        ).try_cast("double")
+    else:
+        mph = F.lit(None).cast("double")
     parsed = edges.withColumn("__kph", mph * F.lit(1.60934))
-    type_means = parsed.groupBy("highway").agg(F.avg("__kph").alias("__type_kph"))
     global_mean_row = parsed.agg(F.avg("__kph")).collect()[0][0]
     global_mean = (
         float(global_mean_row) if global_mean_row is not None else global_default_kph
     )
+    if "highway" not in edges.columns:
+        return parsed.withColumn(
+            "speed_kph", F.coalesce(F.col("__kph"), F.lit(global_mean))
+        ).drop("__kph")
+    type_means = parsed.groupBy("highway").agg(F.avg("__kph").alias("__type_kph"))
     return (
         parsed.join(F.broadcast(type_means), "highway", "left")
         .withColumn(
@@ -427,13 +434,23 @@ def filter_boundaries_by_density(
 ) -> DataFrame:
     """Population-density percentile filter (reference
     utils/data_collection.py:330-443): density = pop / (area/1e6) km²,
-    percentile rank ×100, keep rows ≥ min_density_pctile."""
+    pandas ``rank(pct=True) * 100`` rounded to 1 dp, keep rows ≥
+    min_density_pctile.
+
+    pandas pct-rank is average-rank / n (min row gets 100/n, ties share
+    their group's mean rank) — NOT Spark percent_rank's (rank-1)/(n-1),
+    which shifts the whole distribution and keeps a different boundary
+    set.  Boundary tables are zone-scale, so the single-partition global
+    window is fine."""
     dens = F.col(population_col) / (F.col(area_m2_col) / F.lit(1e6))
-    w = Window.orderBy(F.col("__density"), F.col(population_col))
+    w = Window.orderBy(F.col("__density"))
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    tie = F.count(F.lit(1)).over(Window.partitionBy(F.col("__density")))
+    avg_rank = F.rank().over(w) + (tie - F.lit(1)) / F.lit(2.0)
     return (
         boundaries.withColumn("__density", dens)
         .withColumn("density_per_km2", F.col("__density"))
-        .withColumn("density_pctile", F.percent_rank().over(w) * 100)
+        .withColumn("density_pctile", F.round(avg_rank / n * 100, 1))
         .filter(F.col("density_pctile") >= min_density_pctile)
         .drop("__density")
     )

@@ -188,7 +188,6 @@ class Zones:
 
 def _result_schema(edges_schema, zones: Zones, metric_names, zone_label,
                    keep_geometry, extra_metrics=()):
-    edge_attr_cols = [f.name for f in edges_schema.fields if f.name != "geometry"]
     cols: list[StructField] = []
     ordered = [metric_names["proportion"], metric_names["edge_length"],
                metric_names["zone_length"], *extra_metrics]
@@ -202,10 +201,16 @@ def _result_schema(edges_schema, zones: Zones, metric_names, zone_label,
         if f.name == "geometry":
             continue
         out = edge_output_name(f.name)
+        if out in existing:
+            # collision with a metric/reserved name (e.g. an input column
+            # literally named zone_edge_proportion in a chained
+            # intersection): the reference assigns metrics last so the
+            # fresh metric wins — drop the stale edge attr instead of
+            # letting it overwrite the metric in compute().
+            continue
         edge_renames[f.name] = out
-        if out not in existing:
-            cols.append(StructField(out, f.dataType, True))
-            existing.add(out)
+        cols.append(StructField(out, f.dataType, True))
+        existing.add(out)
     zone_renames = {}
     from pyspark.sql.pandas.types import from_arrow_type
     import pyarrow as pa
@@ -216,7 +221,7 @@ def _result_schema(edges_schema, zones: Zones, metric_names, zone_label,
         pa_type = pa.Schema.from_pandas(zones.attrs[[cname]]).field(0).type
         cols.append(StructField(out, from_arrow_type(pa_type), True))
         existing.add(out)
-    return StructType(cols), edge_renames, zone_renames, edge_attr_cols
+    return StructType(cols), edge_renames, zone_renames, list(edge_renames)
 
 
 # -- the line × polygon operator ----------------------------------------------

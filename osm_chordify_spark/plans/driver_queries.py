@@ -955,8 +955,9 @@ with b as (
   from b
 ), r as (
   select geoid, density_per_km2,
-         percent_rank() over (order by density_per_km2, population) * 100
-           as density_pctile
+         round((rank() over (order by density_per_km2)
+                + (count(*) over (partition by density_per_km2) - 1) / 2.0)
+               / count(*) over () * 100, 1) as density_pctile
   from d
 )
 select geoid, density_per_km2, density_pctile from r
@@ -1035,9 +1036,10 @@ with marked as (
   from events
 ), numbered as (
   select user_id, event_id,
-         sum(new_session) over (partition by user_id
-                                order by ts, event_id
-                                rows unbounded preceding) as session_no
+         cast(sum(new_session) over (partition by user_id
+                                     order by ts, event_id
+                                     rows unbounded preceding) as bigint)
+           as session_no
   from marked
 )
 select user_id, session_no, count(*) as n_events

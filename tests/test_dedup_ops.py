@@ -58,6 +58,55 @@ def test_simhash_pairs_exact_dup(docs):
     assert ham[(0, 1)] == 0
 
 
+def test_minhash_estimate_verify_matches_exact_on_planted(docs):
+    est = DD.minhash_lsh_pairs(
+        docs, num_perm=64, bands=16, verify_threshold=0.5, verify="estimate"
+    ).toPandas()
+    got = set(map(tuple, est[["id_a", "id_b"]].itertuples(index=False)))
+    assert (0, 1) in got  # exact dup: all signature positions agree
+    assert est.set_index(["id_a", "id_b"])["jac"][(0, 1)] == 1.0
+
+
+def test_simhash_rejects_insufficient_bands(docs):
+    with pytest.raises(ValueError, match="n_bands"):
+        DD.simhash_pairs(docs, max_hamming=6, n_bands=4)
+
+
+def test_simhash_recall_matches_bruteforce_at_hamming_6(spark):
+    # constructed mid-hamming pairs: perturbed word sequences whose
+    # simhashes differ by 1-10 bits; the banded join (n_bands=7 derived
+    # from max_hamming=6) must return EXACTLY the brute-force pair set —
+    # the round-1 bug dropped pairs with hamming 4-6 spread across bands.
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = []
+    for i in range(12):
+        words = list(rng.choice(vocab, size=30))
+        texts.append(" ".join(words))
+        for nmut in (1, 2, 3):
+            mut = list(words)
+            for j in rng.choice(30, size=nmut, replace=False):
+                mut[j] = str(rng.choice(vocab))
+            texts.append(" ".join(mut))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    sh = DD.simhash_and_bands(docs, n_bands=7).select("doc_id", "simhash").toPandas()
+    h = sh.sort_values("doc_id")["simhash"].to_numpy().astype(np.uint64)
+    want = set()
+    for a in range(len(h)):
+        for b in range(a + 1, len(h)):
+            if bin(int(h[a]) ^ int(h[b])).count("1") <= 6:
+                want.add((a, b))
+    got_df = DD.simhash_pairs(docs, max_hamming=6).toPandas()
+    got = set(map(tuple, got_df[["id_a", "id_b"]].itertuples(index=False)))
+    assert got == want
+    mid = [p for p in want if 4 <= bin(int(h[p[0]]) ^ int(h[p[1]])).count("1") <= 6]
+    assert mid, "fixture must exercise the hamming 4-6 band-spread regime"
+
+
 def test_dedup_from_pairs_transitive(spark, docs):
     pairs = spark.createDataFrame(
         pd.DataFrame({"id_a": [0, 1], "id_b": [1, 2]})

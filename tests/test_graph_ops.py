@@ -244,6 +244,10 @@ def test_filter_boundaries_by_density(spark):
     out = GR.filter_boundaries_by_density(
         spark.createDataFrame(pdf), min_density_pctile=50.0
     ).toPandas()
-    assert sorted(out["GEOID"]) == ["b", "c"]
+    # pandas rank(pct=True)*100: ranks 1..4 → 25/50/75/100; ≥50 keeps
+    # the rank-2 row too (Spark percent_rank would give it 33.3 — the
+    # reference semantics differ, see ADVICE r1)
+    assert sorted(out["GEOID"]) == ["a", "b", "c"]
     assert (out["density_pctile"] >= 50.0).all()
     assert out.loc[out.GEOID == "c", "density_per_km2"].iloc[0] == 5000.0
+    assert out.loc[out.GEOID == "a", "density_pctile"].iloc[0] == 50.0

@@ -118,6 +118,8 @@ def test_yes_no_all(spark):
     assert _agg(spark, A.yes_no_all, ["yes", "yes"]) == "yes"
     assert _agg(spark, A.yes_no_all, ["yes", "no"]) == "no"
     assert _agg(spark, A.yes_no_all, [None, "yes"]) == "yes"
+    # all-null group = reference's empty attr list ⇒ None, never "yes"
+    assert _agg(spark, A.yes_no_all, [None, None]) is None
 
 
 def test_mean_maxspeed(spark):
