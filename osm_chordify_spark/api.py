@@ -234,9 +234,11 @@ def build_area_mask_from_counties(
     counties, *, use_convex_hull: bool = True, buffer_m: float = 0.0
 ):
     """Fused area mask from county polygons (reference
-    utils/geo.py:153-201): union → convex hull (+ approximate outward
-    buffer).  Driver-side by design — the mask is a single small
-    polygon broadcast to the job."""
+    utils/geo.py:153-201): union → convex hull → exact outward buffer.
+    Both mask shapes (hull, bbox) are convex, so the miter edge-line
+    offset IS the true buffer polygon (no vertex-radial approximation).
+    Driver-side by design — the mask is a single small polygon
+    broadcast to the job."""
     zones = _as_zones(counties)
     pts = np.vstack(
         [G.ring_close(rings[0]) for polys in zones.geoms for rings in polys]
@@ -248,11 +250,7 @@ def build_area_mask_from_counties(
         x1, y1 = pts.max(axis=0)
         ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
     if buffer_m:
-        c = ring.mean(axis=0)
-        d = ring - c
-        norm = np.sqrt((d**2).sum(axis=1, keepdims=True))
-        norm[norm == 0] = 1.0
-        ring = ring + d / norm * buffer_m  # approximate vertex offset
+        ring = G.offset_ring_convex(ring, buffer_m)
     return [ring]
 
 

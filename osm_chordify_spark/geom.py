@@ -190,6 +190,111 @@ def clip_line_polygon(coords: np.ndarray, rings):
     return pieces, total
 
 
+def offset_ring_convex(ring: np.ndarray, d: float) -> np.ndarray:
+    """EXACT outward offset of a CONVEX ring by distance ``d`` (miter
+    join = intersection of the shifted edge lines; for convex rings the
+    miter is the true offset polygon).  Replaces the round-1
+    centroid-radial vertex offset, which distorted elongated hulls.
+    The area-mask shapes this feeds (convex hull or bbox,
+    reference utils/geo.py:153-201 buffer step) are always convex."""
+    r = ring_close(np.asarray(ring, dtype=np.float64))[:-1]
+    if shoelace_area(r) < 0:
+        r = r[::-1]  # CCW: interior on the left, outward normal right
+    n = len(r)
+    if n < 3 or d == 0:
+        return r.copy()
+    ev = np.roll(r, -1, axis=0) - r  # edge vectors
+    el = np.hypot(ev[:, 0], ev[:, 1])
+    el[el == 0] = 1.0
+    nrm = np.stack([ev[:, 1] / el, -ev[:, 0] / el], axis=1)  # outward units
+    p = r + d * nrm  # shifted edge starts
+    q = np.roll(r, -1, axis=0) + d * nrm  # shifted edge ends
+    out = np.empty_like(r)
+    for i in range(n):
+        a0, a1 = p[i - 1], q[i - 1]
+        b0, b1 = p[i], q[i]
+        d1, d2 = a1 - a0, b1 - b0
+        den = d1[0] * d2[1] - d1[1] * d2[0]
+        if abs(den) < 1e-12:  # collinear neighbors: shifted vertex
+            out[i] = b0
+        else:
+            t = ((b0[0] - a0[0]) * d2[1] - (b0[1] - a0[1]) * d2[0]) / den
+            out[i] = a0 + t * d1
+    return out
+
+
+def clip_segments_batch(P0: np.ndarray, P1: np.ndarray, rings,
+                        chunk: int = 200_000):
+    """Inside parameter sub-intervals of N independent segments vs one
+    polygon-with-holes — the batched core of clip_line_polygon,
+    vectorized across ALL segments of ALL edges that share a zone.
+
+    P0, P1: (N, 2) float64 segment endpoints.
+    Returns (seg_idx, t0, t1): int64/float64 arrays sorted by
+    (seg_idx, t0) describing the sub-intervals of segment ``seg_idx``
+    that lie inside the polygon.  Element-wise arithmetic, crossing
+    extraction, dedup, midpoint classification and summation order are
+    identical to the per-edge path, so lengths round to the same 2 dp
+    and reconstructed pieces are byte-identical.
+
+    ``chunk`` bounds the (segments × ring-vertices) broadcast so a 10k-
+    vertex county ring against a 100k-segment batch stays in-cache."""
+    n = len(P0)
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64), np.empty(0, np.float64))
+    if n == 0:
+        return empty
+    P0 = np.asarray(P0, np.float64)
+    P1 = np.asarray(P1, np.float64)
+    ax, ay = P0[:, 0], P0[:, 1]
+    ex, ey = P1[:, 0] - ax, P1[:, 1] - ay
+    seg_parts = [np.arange(n, dtype=np.int64), np.arange(n, dtype=np.int64)]
+    t_parts = [np.zeros(n), np.ones(n)]
+    for ring in rings:
+        r = ring_close(ring)
+        cx, cy = r[:-1, 0], r[:-1, 1]
+        dxr, dyr = r[1:, 0] - cx, r[1:, 1] - cy
+        m = len(cx)
+        if m == 0:
+            continue
+        step = max(1, chunk // m)
+        for s in range(0, n, step):
+            e = min(n, s + step)
+            axc, ayc = ax[s:e, None], ay[s:e, None]
+            exc, eyc = ex[s:e, None], ey[s:e, None]
+            denom = exc * dyr[None, :] - eyc * dxr[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = ((cx[None, :] - axc) * dyr[None, :]
+                     - (cy[None, :] - ayc) * dxr[None, :]) / denom
+                u = ((cx[None, :] - axc) * eyc - (cy[None, :] - ayc) * exc) / denom
+            ok = (denom != 0) & (t > 0.0) & (t < 1.0) & (u >= 0.0) & (u <= 1.0)
+            ii, jj = np.nonzero(ok)
+            if len(ii):
+                seg_parts.append((ii + s).astype(np.int64))
+                t_parts.append(t[ii, jj])
+    seg = np.concatenate(seg_parts)
+    tt = np.concatenate(t_parts)
+    order = np.lexsort((tt, seg))
+    seg, tt = seg[order], tt[order]
+    keep = np.ones(len(seg), dtype=bool)
+    keep[1:] = (seg[1:] != seg[:-1]) | (tt[1:] != tt[:-1])
+    seg, tt = seg[keep], tt[keep]
+    same = seg[1:] == seg[:-1]
+    i0 = np.nonzero(same)[0]
+    if len(i0) == 0:
+        return empty
+    s_idx, t0, t1 = seg[i0], tt[i0], tt[i0 + 1]
+    mids = (t0 + t1) / 2.0
+    mx = ax[s_idx] + mids * ex[s_idx]
+    my = ay[s_idx] + mids * ey[s_idx]
+    inside = np.empty(len(mids), dtype=bool)
+    ring_max = max(len(r) for r in rings)
+    step = max(1, chunk // max(ring_max, 1))
+    for s in range(0, len(mids), step):
+        e = min(len(mids), s + step)
+        inside[s:e] = point_in_polygon(mx[s:e], my[s:e], rings)
+    return s_idx[inside], t0[inside], t1[inside]
+
+
 # ---------------------------------------------------------------------------
 # polygon ∩ polygon area — Sutherland–Hodgman vs convex clips, ear-clip
 # triangulation for general clips
@@ -544,6 +649,25 @@ def _parse_wkb_at(buf: bytes, off: int):
         }[gtype]
         return name, parts, off
     raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def wkb_transform(buf: bytes, fn) -> bytes:
+    """Apply a coordinate transform ``fn((n, 2) array) → (n, 2) array``
+    to any supported WKB geometry, preserving its type (the codec-level
+    primitive behind functions.projection.project_wkb)."""
+    kind, data = parse_wkb(buf)
+    if kind == "point":
+        out = fn(np.asarray([data], dtype=np.float64))[0]
+        return wkb_point(float(out[0]), float(out[1]))
+    if kind == "linestring":
+        return wkb_linestring(fn(data))
+    if kind == "polygon":
+        return wkb_polygon([fn(r) for r in data])
+    if kind == "multilinestring":
+        return wkb_multilinestring([fn(c) for c in data])
+    if kind == "multipolygon":
+        return wkb_multipolygon([[fn(r) for r in rings] for rings in data])
+    raise ValueError(f"unsupported WKB kind {kind}")
 
 
 def geometry_lines(buf: bytes) -> list[np.ndarray]:

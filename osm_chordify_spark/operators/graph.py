@@ -47,65 +47,220 @@ PROTECTED_HIGHWAY_TYPES = (
 # connected components
 
 
-def connected_components(
-    pairs: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+def _min_label_prop(
+    arcs: DataFrame,
+    max_iter: int = 30,
+    doublings_per_round: int = 3,
 ) -> DataFrame:
-    """Undirected connected components → (id, component) where component
-    is the min vertex id of the component.
+    """Min-label propagation along directed arcs (a → b) + pointer
+    doubling → (id, label) where label = min vertex with a directed path
+    to id (including id itself); vertices are a∪b.
 
-    Min-label propagation with pointer doubling each round: O(log n)
-    rounds on path graphs (road chains are exactly that).  Each round is
-    a hash-partitioned self-join; lineage truncated via localCheckpoint."""
-    sym = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
+    Doubling stays valid in the directed case: label[v] = u certifies a
+    path u→v and label[u] = w a path w→u, hence w→v.
+
+    Restructured for driver-side job economy (the 100× scale bottleneck
+    here is orchestration, not data): each round composes one
+    neighbor-min step and ``doublings_per_round`` pointer-doubling
+    self-joins LAZILY, materializes the round ONCE with an eager
+    localCheckpoint, and probes convergence with a count over the
+    already-materialized RDD (a near-free second job).
+
+    The round ends persist → count → localCheckpoint → unpersist, in
+    that exact order, for a non-obvious reason measured the hard way:
+    Dataset.localCheckpoint carries the origin plan's ESTIMATED stats
+    into the new LogicalRDD, and a round's plan multiplies the
+    sizeInBytes of ~2^(doublings+1) join leaves — so checkpointing the
+    raw join tree makes the carried BigInteger's BIT LENGTH grow ~16×
+    per round (double-exponential value growth), and by round ~6
+    Catalyst's stats visitor is doing Toom-Cook multiplication on
+    multi-megabit integers (measured 0.8 s → 24 s → 20× worse per
+    round; same blowup with lazy checkpoints or bare persists).
+    Materializing the cache FIRST makes InMemoryRelation report its
+    real, small byte size, the checkpoint inherits that, and every
+    round restarts from KB-scale stats.  Both jobs are cheap: the
+    count materializes one round's work, the checkpoint re-reads the
+    cache."""
+    arcs = (
+        arcs.repartition(F.col("b"))  # co-partition once; reused every round
+        .persist()
     )
     labels = (
-        sym.select(F.col("a").alias("id"))
-        .union(sym.select(F.col("b").alias("id")))
+        arcs.select(F.col("a").alias("id"))
+        .union(arcs.select(F.col("b").alias("id")))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nmin = (
-            sym.join(labels, sym.b == labels.id)
-            .groupBy("a")
+            arcs.join(labels, arcs.a == labels.id)
+            .groupBy("b")
             .agg(F.min("label").alias("nl"))
         )
-        stepped = (
-            labels.join(nmin, labels.id == nmin.a, "left")
-            .select(
-                F.col("id"),
-                F.col("label").alias("old"),
-                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
+        cur = labels.join(nmin, labels.id == nmin.b, "left").select(
+            F.col("id"),
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                "label"
+            ),
         )
-        # pointer doubling: label ← min(label, label[label]); the old
-        # label rides along so convergence needs no extra join
-        lk = stepped.select(
-            F.col("id").alias("lid"), F.col("label").alias("l2")
-        )
-        doubled = (
-            stepped.join(lk, stepped.label == lk.lid, "left")
-            .select(
+        for _ in range(doublings_per_round):
+            # label ← min(label, label[label])
+            lk = cur.select(F.col("id").alias("lid"), F.col("label").alias("l2"))
+            cur = cur.join(lk, cur.label == lk.lid, "left").select(
                 "id",
                 "old",
                 F.least(F.col("label"), F.coalesce(F.col("l2"), F.col("label"))).alias(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = doubled.filter(F.col("label") != F.col("old")).limit(1).count()
-        labels = doubled.drop("old")
+        cur = cur.persist()
+        changed = cur.filter(F.col("label") != F.col("old")).count()
+        ckpt = cur.localCheckpoint(eager=True)
+        cur.unpersist()
+        labels = ckpt.drop("old")
         if changed == 0:
             break
+    arcs.unpersist()
+    return labels
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    doublings_per_round: int = 3,
+) -> DataFrame:
+    """Undirected connected components → (id, component) where component
+    is the min vertex id of the component.  Symmetrizes the edge list
+    and delegates to the directed min-label propagation loop."""
+    sym = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+    )
+    labels = _min_label_prop(
+        sym, max_iter=max_iter, doublings_per_round=doublings_per_round
+    )
     return labels.select("id", F.col("label").alias("component"))
+
+
+def strongly_connected_components(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_phases: int = 25,
+    **prop_kw,
+) -> DataFrame:
+    """Strongly connected components → (id, component) where component
+    is the min vertex id of the SCC (reference graph.py:987-1002 strong
+    mode via nx.strongly_connected_components — here the Orzan-style
+    forward/backward coloring, each phase two pointer-doubled label
+    propagations, NOT a NetworkX port).
+
+    Phase: (0) TRIM — vertices with no incoming or no outgoing arc are
+    singleton SCCs; peel them iteratively (dissolves DAG fringes, which
+    are the coloring step's pathological case: a pure directed chain
+    retires only one vertex per coloring phase but trims from both ends);
+    (1) color(v) = min vertex with a forward path to v;
+    (2) on arcs REVERSED and restricted to equal colors, rev(v) = min
+    same-color vertex v reaches forward; Orzan's theorem: v ∈ SCC of its
+    color root c iff rev(v) == c (mutual paths never leave the color
+    class, and c is the class minimum).  Found vertices retire; every
+    color root retires per phase, so phases strictly shrink the graph —
+    road networks (one giant SCC + oneway tails) settle in 1–3 phases,
+    each O(log n) propagation rounds + O(peel depth) trim rounds."""
+    arcs0 = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    verts = (
+        pairs.select(F.col(src).alias("id"))
+        .union(pairs.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    arcs = arcs0.localCheckpoint(eager=True)
+    parts: list[DataFrame] = []
+
+    def retire(found_ids, arcs, verts):
+        arcs = (
+            arcs.join(found_ids.withColumnRenamed("id", "a"), "a", "left_anti")
+            .join(found_ids.withColumnRenamed("id", "b"), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        verts = verts.join(found_ids, "id", "left_anti").localCheckpoint(eager=True)
+        return arcs, verts
+
+    n_arcs = arcs.count()
+    for _ in range(max_phases):
+        # ---- trim: peel sources/sinks — they are singleton SCCs.  Each
+        # action materializes ``trim_batch`` lazily-chained peel steps
+        # (lazy localCheckpoints share RDD stages, as in _min_label_prop)
+        trim_batch = 4
+        while True:
+            for _ in range(trim_batch):
+                core = (
+                    arcs.select(F.col("b").alias("id"))
+                    .distinct()
+                    .join(arcs.select(F.col("a").alias("id")).distinct(), "id", "left_semi")
+                    .localCheckpoint(eager=False)
+                )
+                arcs = (
+                    arcs.join(core.withColumnRenamed("id", "a"), "a", "left_semi")
+                    .join(core.withColumnRenamed("id", "b"), "b", "left_semi")
+                    .localCheckpoint(eager=False)
+                )
+            n = arcs.count()
+            if n == n_arcs:
+                break
+            n_arcs = n
+        # everything trimmed off the arc set is its own SCC
+        arc_verts = (
+            arcs.select(F.col("a").alias("id"))
+            .union(arcs.select(F.col("b").alias("id")))
+            .distinct()
+        )
+        singles = verts.join(arc_verts, "id", "left_anti").select(
+            "id", F.col("id").alias("component")
+        )
+        parts.append(singles.localCheckpoint(eager=True))
+        verts = verts.join(arc_verts, "id", "left_semi").localCheckpoint(eager=True)
+        if verts.isEmpty():
+            break
+        color = _min_label_prop(arcs, **prop_kw)  # (id, label)
+        ca = color.select(F.col("id").alias("a"), F.col("label").alias("__ca"))
+        cb = color.select(F.col("id").alias("b"), F.col("label").alias("__cb"))
+        restricted_rev = (
+            arcs.join(ca, "a")
+            .join(cb, "b")
+            .filter(F.col("__ca") == F.col("__cb"))
+            .select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        rev = _min_label_prop(restricted_rev, **prop_kw).withColumnRenamed(
+            "label", "__rev"
+        )
+        scc = (
+            color.join(rev, "id", "left")
+            .withColumn("__rev", F.coalesce(F.col("__rev"), F.col("id")))
+            .filter(F.col("__rev") == F.col("label"))
+            .select("id", F.col("label").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        parts.append(scc)
+        arcs, verts = retire(scc.select("id"), arcs, verts)
+        n_arcs = arcs.count()
+        if verts.isEmpty():
+            break
+    else:
+        raise RuntimeError(
+            f"strongly_connected_components did not settle in {max_phases} phases"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -318,6 +473,31 @@ def chordify(
     return untouched.unionByName(chords.select(*sel_cols))
 
 
+def compose_layers(
+    layers: list[DataFrame], key_cols: tuple[str, ...] = ("u", "v", "key")
+) -> DataFrame:
+    """Multi-layer graph compose with later-layer-wins semantics
+    (reference graph.py:706-739 ``nx.compose_all`` +
+    ``adjust_and_add_graph``: when the same (u, v, key) edge exists in
+    several layers, the LAST layer's attributes win).
+
+    Spark-first: schemas aligned with unionByName(allowMissingColumns),
+    the winner picked by ONE row_number window over the layer ordinal —
+    no iterative joins, one shuffle on the edge key."""
+    if not layers:
+        raise ValueError("compose_layers needs at least one layer")
+    tagged = [df.withColumn("__layer", F.lit(i)) for i, df in enumerate(layers)]
+    allo = tagged[0]
+    for t in tagged[1:]:
+        allo = allo.unionByName(t, allowMissingColumns=True)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("__layer"))
+    return (
+        allo.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__layer")
+    )
+
+
 # ---------------------------------------------------------------------------
 # topology validation
 
@@ -513,20 +693,27 @@ def consolidate_nodes(
 
 
 def largest_component(
-    nodes: DataFrame, edges: DataFrame
+    nodes: DataFrame, edges: DataFrame, mode: str = "weak"
 ) -> tuple[DataFrame, DataFrame]:
-    """Keep only the largest weakly connected component
-    (reference graph.py:987-1002, weak mode)."""
-    comp = connected_components(
-        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    )
+    """Keep only the largest connected component — ``mode`` picks weak
+    or strong connectivity (reference graph.py:987-1002: the
+    retain_component config flag; strong matters for directed road
+    networks with oneways)."""
+    if mode not in ("weak", "strong"):
+        raise ValueError(f"mode must be 'weak' or 'strong', got {mode!r}")
+    cc = connected_components if mode == "weak" else strongly_connected_components
+    comp = cc(edges.select(F.col("u").alias("src"), F.col("v").alias("dst")))
     sizes = comp.groupBy("component").count()
     top = sizes.orderBy(F.desc("count"), F.asc("component")).limit(1)
     keep = comp.join(F.broadcast(top.select("component")), "component").select(
         F.col("id").alias("node_id")
     )
     kept_nodes = nodes.join(keep, "node_id", "leftsemi")
+    # subgraph semantics: BOTH endpoints must be in the component (for
+    # weak CC the u-side test alone would suffice; for strong it would
+    # leak edges exiting the SCC)
     kept_edges = (
         edges.join(keep.withColumnRenamed("node_id", "u"), "u", "leftsemi")
+        .join(keep.withColumnRenamed("node_id", "v"), "v", "leftsemi")
     )
     return kept_nodes, kept_edges

@@ -142,15 +142,18 @@ class Zones:
     attrs: pandas DataFrame (one row per zone, no geometry column);
     geoms: list of multipolygon ring-lists aligned with attrs rows."""
 
-    def __init__(self, attrs: pd.DataFrame, geoms: list):
+    def __init__(self, attrs: pd.DataFrame, geoms: list, world=ci.WORLD):
         assert len(attrs) == len(geoms)
         self.attrs = attrs.reset_index(drop=True)
         self.geoms = geoms
+        self.world = world  # cell-index bounds: lon/lat or a meter plane
 
     @staticmethod
-    def from_records(records, geometry_key="geometry"):
+    def from_records(records, geometry_key="geometry", world=ci.WORLD):
         """records: iterable of dicts with WKB bytes or ring-lists under
-        ``geometry_key`` plus arbitrary attribute keys."""
+        ``geometry_key`` plus arbitrary attribute keys.  ``world`` sets
+        the cell-index bounds — pass the projected-plane extent when the
+        zones live in meters (functions.projection)."""
         rows, geoms = [], []
         for rec in records:
             rec = dict(rec)
@@ -162,11 +165,12 @@ class Zones:
             else:
                 geoms.append([g])  # single polygon rings
             rows.append(rec)
-        return Zones(pd.DataFrame(rows), geoms)
+        return Zones(pd.DataFrame(rows), geoms, world=world)
 
     def index(self, res: int = 9) -> ZoneIndex:
         return ZoneIndex.build(
-            [(i, polys) for i, polys in enumerate(self.geoms)], res=res
+            [(i, polys) for i, polys in enumerate(self.geoms)], res=res,
+            world=self.world,
         )
 
     def bbox_filter(self, bounds) -> np.ndarray:
@@ -224,6 +228,34 @@ def _result_schema(edges_schema, zones: Zones, metric_names, zone_label,
     return StructType(cols), edge_renames, zone_renames, list(edge_renames)
 
 
+def _assemble_pieces(P0, P1, sline, sidx, t0, t1):
+    """Reconstruct inside sub-polylines from batch-clip intervals.
+
+    Intervals arrive sorted by (segment, t); contiguous intervals of the
+    same source line whose endpoints coincide merge into one piece —
+    the same merge rule (np.allclose on the junction point) as the
+    per-edge clip path, and never across distinct source lines."""
+    pieces, current = [], []
+    last_line = None
+    for i in range(len(sidx)):
+        s = sidx[i]
+        ax, ay = P0[s]
+        ex, ey = P1[s, 0] - ax, P1[s, 1] - ay
+        p0 = np.array([ax + t0[i] * ex, ay + t0[i] * ey])
+        p1 = np.array([ax + t1[i] * ex, ay + t1[i] * ey])
+        ln = sline[s]
+        if current and ln == last_line and np.allclose(current[-1], p0):
+            current.append(p1)
+        else:
+            if len(current) >= 2:
+                pieces.append(np.asarray(current))
+            current = [p0, p1]
+        last_line = ln
+    if len(current) >= 2:
+        pieces.append(np.asarray(current))
+    return pieces
+
+
 # -- the line × polygon operator ----------------------------------------------
 
 
@@ -260,12 +292,34 @@ def intersect_lines_with_zones(
         zattrs: pd.DataFrame = b_attrs.value
         zgeoms = b_geoms.value
         zone_rows = zattrs.to_dict("records")  # cheap scalar access
+        out_cols = [f.name for f in schema.fields]
         for pdf in batches:
             out_rows = []
             geoms = pdf["geometry"].tolist()
             attr_vals = {c: pdf[c].tolist() for c in edge_attr_cols}
-            for r in range(len(pdf)):
+            n_rows = len(pdf)
+            edge_lines: list = [None] * n_rows
+            edge_lens = np.zeros(n_rows)
+            pending: dict[int, list[int]] = {}  # zone -> edge rows to clip
+
+            def emit(r, z, prop, edge_len, zone_len, pieces):
+                row = {mp: prop, me: edge_len, mz: zone_len}
+                if keep_geometry:
+                    row["geometry"] = (
+                        G.wkb_linestring(pieces[0])
+                        if len(pieces) == 1
+                        else G.wkb_multilinestring(pieces)
+                    )
+                for cname in edge_attr_cols:
+                    row[edge_renames[cname]] = attr_vals[cname][r]
+                zrow = zone_rows[int(z)]
+                for cname in zattrs.columns:
+                    row[zone_renames[cname]] = zrow[cname]
+                out_rows.append(row)
+
+            for r in range(n_rows):
                 lines = G.geometry_lines(bytes(geoms[r]))
+                edge_lines[r] = lines
                 # covering cells of the whole edge at index res
                 xs = np.concatenate([ln[:, 0] for ln in lines])
                 ys = np.concatenate([ln[:, 1] for ln in lines])
@@ -277,40 +331,62 @@ def intersect_lines_with_zones(
                 if len(zcand) == 0:
                     continue
                 edge_len = round(sum(G.polyline_length(ln) for ln in lines), 2)
+                edge_lens[r] = edge_len
                 n_cells = len(cover)
                 for z in np.unique(zcand):
                     zmask = zcand == z
-                    contained = full[zmask].all() and zmask.sum() == n_cells
-                    if contained:
+                    if full[zmask].all() and zmask.sum() == n_cells:
                         # fast path (reference intersect.py:703-733)
-                        zone_len = edge_len
-                        prop = 1.0 if edge_len > 0 else 0.0
-                        pieces = lines
+                        emit(r, z, 1.0 if edge_len > 0 else 0.0,
+                             edge_len, edge_len, lines)
                     else:
-                        pieces, total = [], 0.0
-                        for rings in zgeoms[z]:
-                            for ln in lines:
-                                p, ln_in = G.clip_line_polygon(ln, rings)
-                                pieces.extend(p)
-                                total += ln_in
-                        zone_len = round(total, 2)
-                        if zone_len <= 0:
-                            continue  # boundary touch / no overlap
-                        prop = round(zone_len / edge_len, 4) if edge_len > 0 else 0.0
-                    row = {mp: prop, me: edge_len, mz: zone_len}
+                        pending.setdefault(int(z), []).append(r)
+
+            # exact clips batched per zone: one vectorized kernel call per
+            # (zone, polygon) over ALL candidate edges' segments at once —
+            # replaces the per-edge Python clip loop (~0.8 ms/edge of
+            # small-array overhead) with (segments × ring) NumPy passes
+            for z, rows_list in pending.items():
+                p0s, p1s, rowidx, lineidx = [], [], [], []
+                for cr, r in enumerate(rows_list):
+                    for li, ln in enumerate(edge_lines[r]):
+                        if len(ln) < 2:
+                            continue
+                        k = len(ln) - 1
+                        p0s.append(ln[:-1])
+                        p1s.append(ln[1:])
+                        rowidx.append(np.full(k, cr, np.int64))
+                        lineidx.append(np.full(k, li, np.int64))
+                if not p0s:
+                    continue
+                P0 = np.vstack(p0s)
+                P1 = np.vstack(p1s)
+                srow = np.concatenate(rowidx)
+                sline = np.concatenate(lineidx)
+                seg_len = np.hypot(P1[:, 0] - P0[:, 0], P1[:, 1] - P0[:, 1])
+                totals = np.zeros(len(rows_list))
+                per_poly_iv = []
+                for rings in zgeoms[z]:
+                    sidx, t0, t1 = G.clip_segments_batch(P0, P1, rings)
+                    per_poly_iv.append((sidx, t0, t1))
+                    # unbuffered add in (seg, t) order = the sequential
+                    # accumulation order of the per-edge path
+                    np.add.at(totals, srow[sidx], seg_len[sidx] * (t1 - t0))
+                for cr, r in enumerate(rows_list):
+                    zone_len = round(float(totals[cr]), 2)
+                    if zone_len <= 0:
+                        continue  # boundary touch / no overlap
+                    edge_len = edge_lens[r]
+                    prop = round(zone_len / edge_len, 4) if edge_len > 0 else 0.0
+                    pieces = []
                     if keep_geometry:
-                        row["geometry"] = (
-                            G.wkb_linestring(pieces[0])
-                            if len(pieces) == 1
-                            else G.wkb_multilinestring(pieces)
-                        )
-                    for cname in edge_attr_cols:
-                        row[edge_renames[cname]] = attr_vals[cname][r]
-                    zrow = zone_rows[int(z)]
-                    for cname in zattrs.columns:
-                        row[zone_renames[cname]] = zrow[cname]
-                    out_rows.append(row)
-            yield pd.DataFrame(out_rows, columns=[f.name for f in schema.fields])
+                        for sidx, t0, t1 in per_poly_iv:
+                            m = srow[sidx] == cr
+                            pieces.extend(
+                                _assemble_pieces(P0, P1, sline, sidx[m], t0[m], t1[m])
+                            )
+                    emit(r, z, prop, edge_len, zone_len, pieces)
+            yield pd.DataFrame(out_rows, columns=out_cols)
 
     result = edges.mapInPandas(compute, schema=schema)
     if include_void_zones:

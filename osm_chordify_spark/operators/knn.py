@@ -8,21 +8,34 @@ segment midpoints with an R-tree-free expanding cell-ring search.
 
 Algorithm (exact kNN, not approximate):
 1. segments → midpoint cell at resolution ``res`` (pure column math);
-2. round r = 1, 2, …: unresolved points explode to their (2r+1)² cell
-   neighborhood (JVM ``sequence``/``transform`` — no Python), equi-join
-   on cell (Catalyst hash join; AQE handles skewed cells), rank
-   candidates per point by (distance, segment id);
-3. a point finalizes when it has ≥ k candidates AND its kth distance
-   ≤ r·min(cell_w, cell_h): any unseen midpoint lies in a cell at
-   Chebyshev distance > r, hence ≥ r·cell_min away — the kth result
-   can no longer change.  This is the distance-bound-vs-ring-radius
-   correctness condition (SURVEY §7.2 step 6);
-4. points still unresolved at ``max_ring`` keep their best-so-far
-   (only possible when the data is sparser than max_ring cells).
+2. round r = 1, 2, 4, …: unresolved points explode to the NEW annulus
+   only — cells with Chebyshev distance in (r_prev, r] — and equi-join
+   on cell (Catalyst hash join; AQE handles skewed cells).  Previously
+   found candidates are carried forward as a top-k set per point, so no
+   cell is ever probed twice (round 1 re-probed the full (2r+1)² disk
+   every round: 1,089 cells/point at r=16);
+3. per point, the union of carried + new candidates is ranked by
+   (distance, segment id); a point finalizes when it has ≥ k candidates
+   AND its kth distance ≤ r·min(cell_w, cell_h): any unseen midpoint
+   lies in a cell at Chebyshev distance > r, hence ≥ r·cell_min away —
+   the kth result can no longer change (SURVEY §7.2 step 6);
+4. points still unresolved at ``max_ring`` recurse at a coarser
+   resolution (res − 3 ⇒ 8× fewer ring cells) instead of cross-joining
+   against all segments; at res 0 the single world cell makes the ring
+   search itself exhaustive, so the recursion terminates exactly.
+
+Job economy: each round materializes its candidate set and its
+still-unresolved point set with the persist → count → eager
+localCheckpoint → unpersist sequence (see graph._min_label_prop for
+why this exact order: checkpointing an unmaterialized join tree
+carries double-exponentially-growing estimated stats, and lazy
+persists recompute the whole history under AQE); done/undone
+classification is a window over the same shuffle as the ranking, so
+no large id set is ever broadcast.
 
 Scale: the fact side (points) is never shuffled except by the ranking
 window within each round, and each round only reprocesses the
-shrinking unresolved set.
+shrinking unresolved set against its new annulus.
 """
 
 from __future__ import annotations
@@ -37,32 +50,33 @@ from osm_chordify_spark.functions.cells import cell_expr
 _MASK = (1 << 29) - 1
 
 
-def _ring_cells(cell, r: int, res: int):
-    """Array column of all cells within Chebyshev distance r (clipped)."""
+def _annulus_cells(cell, r_in: int, r_out: int, res: int):
+    """Array column of cells with Chebyshev distance in (r_in, r_out]
+    from ``cell`` (clipped at the world edge).  r_in = -1 ⇒ full disk."""
     n = 1 << res
     ix = F.shiftright(cell, 29).bitwiseAND(F.lit(_MASK).cast("long"))
     iy = cell.bitwiseAND(F.lit(_MASK).cast("long"))
-    deltas = F.sequence(F.lit(-r), F.lit(r))
+    deltas = F.sequence(F.lit(-r_out), F.lit(r_out))
     pairs = F.flatten(
         F.transform(
             deltas,
             lambda dx: F.transform(
                 deltas,
-                lambda dy: F.struct(
-                    (ix + dx).alias("jx"), (iy + dy).alias("jy")
-                ),
+                lambda dy: F.struct(dx.alias("dx"), dy.alias("dy")),
             ),
         )
     )
-    valid = F.filter(
+    keep = F.filter(
         pairs,
-        lambda p: (p["jx"] >= 0) & (p["jx"] < n) & (p["jy"] >= 0) & (p["jy"] < n),
+        lambda p: (F.greatest(F.abs(p["dx"]), F.abs(p["dy"])) > r_in)
+        & (ix + p["dx"] >= 0) & (ix + p["dx"] < n)
+        & (iy + p["dy"] >= 0) & (iy + p["dy"] < n),
     )
     return F.transform(
-        valid,
+        keep,
         lambda p: F.shiftleft(F.lit(res).cast("long"), 58)
-        .bitwiseOR(F.shiftleft(p["jx"], 29))
-        .bitwiseOR(p["jy"]),
+        .bitwiseOR(F.shiftleft(ix + p["dx"], 29))
+        .bitwiseOR(iy + p["dy"]),
     )
 
 
@@ -106,49 +120,89 @@ def knn_match(
         (F.col("__px") - F.col("__sx")) * (F.col("__px") - F.col("__sx"))
         + (F.col("__py") - F.col("__sy")) * (F.col("__py") - F.col("__sy"))
     )
-    w = Window.partitionBy("__pid").orderBy(F.col("__dist"), F.col("__sid"))
-    results = None
-    r = 1
+    wp = Window.partitionBy("__pid")
+    w = wp.orderBy(F.col("__dist"), F.col("__sid"))
+
+    finished_parts: list[DataFrame] = []
+    best = None  # carried top-k candidates of still-unresolved points
+    r_prev, r = -1, 1
+    n_unres = 1
     while r <= max_ring:
         probe = unresolved.withColumn(
-            "__cell", F.explode(_ring_cells(F.col("__pcell"), r, res))
+            "__cell", F.explode(_annulus_cells(F.col("__pcell"), r_prev, r, res))
         )
-        cand = probe.join(segs, "__cell")
-        ranked = (
-            cand.withColumn("__dist", dist)
-            .select("__pid", "__sid", "__dist")
-            .withColumn("__rank", F.row_number().over(w))
-            .filter(F.col("__rank") <= k)
-        )
-        counts = ranked.groupBy("__pid").agg(
-            F.count("*").alias("__n"), F.max("__dist").alias("__dk")
-        )
-        bound = float(r) * cell_min
-        done_ids = counts.filter(
-            (F.col("__n") >= k) & (F.col("__dk") <= F.lit(bound))
-        ).select("__pid")
-        finished = ranked.join(F.broadcast(done_ids), "__pid", "leftsemi").select(
-            "__pid", "__sid", "__dist", "__rank"
-        )
-        results = finished if results is None else results.unionByName(finished)
-        unresolved = unresolved.join(done_ids, "__pid", "leftanti")
-        results = results.localCheckpoint(eager=True)
-        unresolved = unresolved.localCheckpoint(eager=True)
-        if unresolved.isEmpty():
-            break
-        r *= 2
-    if not unresolved.isEmpty():
-        # sparse-data fallback: the remaining points are few (or the data
-        # is sparser than max_ring cells) — rank them against the full
-        # segment set directly; exact and still distributed
-        leftover = (
-            unresolved.crossJoin(segs.drop("__cell"))
+        cand = (
+            probe.join(segs, "__cell")
             .withColumn("__dist", dist)
-            .select("__pid", "__sid", "__dist")
-            .withColumn("__rank", F.row_number().over(w))
-            .filter(F.col("__rank") <= k)
+            .select("__pid", "__px", "__py", "__sid", "__dist")
         )
-        results = leftover if results is None else results.unionByName(leftover)
+        allc = cand if best is None else cand.unionByName(best)
+        bound = float(r) * cell_min
+        ranked = (
+            allc.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= k)
+            .withColumn(
+                "__done",
+                (F.count("*").over(wp) >= k)
+                & (F.max("__dist").over(wp) <= F.lit(bound)),
+            )
+            .persist()
+        )
+        ranked.count()
+        ranked_ck = ranked.localCheckpoint(eager=True)
+        ranked.unpersist()
+        finished_parts.append(
+            ranked_ck.filter(F.col("__done")).select(
+                "__pid", "__sid", "__dist", "__rank"
+            )
+        )
+        done_ids = ranked_ck.filter(F.col("__done")).select("__pid").distinct()
+        nxt = unresolved.join(done_ids, "__pid", "left_anti").persist()
+        n_unres = nxt.count()
+        unresolved = nxt.localCheckpoint(eager=True)
+        nxt.unpersist()
+        if n_unres == 0:
+            break
+        best = ranked_ck.filter(~F.col("__done")).select(
+            "__pid", "__px", "__py", "__sid", "__dist"
+        )
+        r_prev, r = r, r * 2
+
+    if n_unres > 0:
+        if res == 0:
+            # the single world cell was probed: best-so-far IS exact
+            # (fewer than k segments exist, or ties at the world scale)
+            finished_parts.append(
+                best.withColumn("__rank", F.row_number().over(w)).select(
+                    "__pid", "__sid", "__dist", "__rank"
+                )
+            )
+        else:
+            # sparse leftovers: coarsen 3 levels (8× fewer ring cells)
+            # and re-search just those points — exact at any resolution,
+            # terminates at res 0 without ever cross-joining
+            sub = knn_match(
+                unresolved.select(
+                    F.col("__pid").alias(point_id),
+                    F.col("__px").alias(px),
+                    F.col("__py").alias(py),
+                ),
+                segments, k=k, res=max(res - 3, 0), max_ring=max_ring,
+                point_id=point_id, seg_id=seg_id,
+                point_xy=point_xy, seg_xy=seg_xy, world=world,
+            )
+            finished_parts.append(
+                sub.select(
+                    F.col(point_id).alias("__pid"),
+                    F.col(seg_id).alias("__sid"),
+                    F.col("dist").alias("__dist"),
+                    F.col("rank").alias("__rank"),
+                )
+            )
+
+    results = finished_parts[0]
+    for part in finished_parts[1:]:
+        results = results.unionByName(part)
     return results.select(
         F.col("__pid").alias(point_id),
         F.col("__sid").alias(seg_id),
@@ -161,8 +215,6 @@ def segment_midpoints(edges: DataFrame, geometry_col: str = "geometry") -> DataF
     """Arc-length midpoints of WKB line geometries (the representative
     point of each chordified segment — reference intersect.py:707
     representative_point analog for lines)."""
-    import pandas as pd
-
     from osm_chordify_spark import geom as G
 
     @F.pandas_udf("mx double, my double")

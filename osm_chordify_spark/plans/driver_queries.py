@@ -1157,3 +1157,116 @@ def props_tag_extract(spark, sf_dir):
             F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("bigint")
         ).alias("k_total"),
     )
+
+
+@register(
+    "scc_components",
+    oracle="""
+select range as id,
+       cast(case when range % 10 <= 4 then floor(range / 10) * 10
+            else range end as bigint) as component
+from range(0, 1000)
+""",
+)
+def scc_components(spark, sf_dir):
+    """G5 strong mode (reference graph.py:987-1002 retain strong): 100
+    oneway 5-cycles, each trailing a dangling oneway chain into the next
+    block — cycles are 5-vertex SCCs, chain vertices are singletons.
+    Exercises both the trim phase (chains) and the forward/backward
+    coloring (cycles)."""
+    n = 1000
+    ids = spark.range(n).filter(F.col("id") != n - 1)
+    dst = F.when(F.col("id") % 10 == 4, F.col("id") - 4).otherwise(F.col("id") + 1)
+    pairs = ids.select(F.col("id").alias("src"), dst.alias("dst"))
+    # vertex 999 only appears as a destination; 998->999 keeps it in play
+    return _GR.strongly_connected_components(pairs).select("id", "component")
+
+
+@register(
+    "compose_layers_priority",
+    oracle="""
+select distinct l_orderkey as u, l_linenumber as v, cast(0 as integer) as key,
+       case when l_linenumber = 1 then 'primary' else 'residential' end as highway
+from lineitem
+""",
+)
+def compose_layers_priority(spark, sf_dir):
+    """U3 multi-layer compose with later-layer-wins semantics
+    (reference graph.py:706-739 nx.compose_all + adjust_and_add_graph):
+    an overlay layer re-tags the linenumber-1 edges; compose must keep
+    exactly one row per (u, v, key) with the overlay's attributes."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").alias("u"),
+        F.col("l_linenumber").alias("v"),
+        F.lit(0).alias("key"),
+        F.lit("residential").alias("highway"),
+    )
+    overlay = base.filter(F.col("v") == 1).withColumn("highway", F.lit("primary"))
+    out = _GR.compose_layers([base, overlay])
+    return out.select("u", "v", "key", "highway")
+
+
+@register(
+    "projected_intersect_lengths",
+    oracle="""
+with edges as (
+  select p_partkey as k,
+         ((p_partkey * 7) % 60) * 1e2 as xs,
+         ((p_partkey * 7) % 60) * 1e2 + 4e3 as xe
+  from part
+), pairs as (
+  select k, 'R0' as zone_zone_id,
+         greatest(0e0, least(xe, 5e3) - greatest(xs, 0e0)) as ov from edges
+  union all
+  select k, 'R1' as zone_zone_id,
+         greatest(0e0, least(xe, 1e4) - greatest(xs, 5e3)) as ov from edges
+)
+select k as edge_osm_id, zone_zone_id,
+       cast(round(ov, 2) as double) as zone_link_length_m,
+       cast(4e3 as double) as edge_link_length_m,
+       cast(round(round(ov, 2) / 4e3, 4) as double) as zone_edge_proportion
+from pairs where ov > 0
+""",
+)
+def projected_intersect_lengths(spark, sf_dir):
+    """F1/F2/G10/X10 end-to-end: lon/lat edges are PROJECTED to a local
+    meter plane (functions.projection equirectangular; the reference's
+    UTM step, utils/geo.py:204-272), then exactly intersected against
+    meter-plane zones — zone lengths in meters must match the DuckDB
+    interval oracle, proving degree→meter round-trip parity.  The
+    geographic-rejection contract (intersect.py:111-119) is pytest-
+    covered in test_projection_and_compose."""
+    from osm_chordify_spark.functions import projection as _PJ
+
+    crs = _PJ.local_crs(-100.0, 45.0)
+    part = _t(spark, sf_dir, "part")
+    lonlat = part.select(
+        F.col("p_partkey").alias("osm_id"),
+        (F.lit(crs.lon0) + F.expr("((p_partkey * 7) % 60) * 1e2") / F.lit(crs.k_x)).alias("lon_s"),
+        (F.lit(crs.lon0) + (F.expr("((p_partkey * 7) % 60) * 1e2") + F.lit(4e3)) / F.lit(crs.k_x)).alias("lon_e"),
+        (F.lit(crs.lat0) + F.expr("((p_partkey * 13) % 95) * 1e2 + 25e1") / F.lit(crs.k_y)).alias("lat"),
+    )
+    xs, y = _PJ.project_xy(F.col("lon_s"), F.col("lat"), crs)
+    xe, _ = _PJ.project_xy(F.col("lon_e"), F.col("lat"), crs)
+    pts = lonlat.select("osm_id", xs.alias("xs"), xe.alias("xe"), y.alias("y"))
+
+    @F.pandas_udf("binary")
+    def mk_line(xs: pd.Series, xe: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_G.wkb_linestring([[a, yy], [b, yy]]) for a, b, yy in zip(xs, xe, y)]
+        )
+
+    edges = pts.select("osm_id", mk_line("xs", "xe", "y").alias("geometry"))
+    zones = _I.Zones.from_records(
+        [
+            {"zone_id": "R0", "geometry": [np.array([[0.0, 0.0], [5e3, 0.0], [5e3, 1e4], [0.0, 1e4]])]},
+            {"zone_id": "R1", "geometry": [np.array([[5e3, 0.0], [1e4, 0.0], [1e4, 1e4], [5e3, 1e4]])]},
+        ],
+        world=(-1e4, -1e4, 2e4, 2e4),
+    )
+    out = _I.intersect_lines_with_zones(edges, zones, keep_geometry=False)
+    return out.select(
+        "edge_osm_id", "zone_zone_id", "zone_link_length_m",
+        "edge_link_length_m", "zone_edge_proportion",
+    )

@@ -78,6 +78,53 @@ def test_largest_component_matches_networkx(spark, random_multigraph):
     assert set(ke_p["u"]) <= mine
 
 
+def test_strong_components_match_networkx(spark, random_multigraph):
+    g = nx.DiGraph()
+    g.add_edges_from(random_multigraph[["u", "v"]].itertuples(index=False))
+    nx_scc = {}
+    for comp in nx.strongly_connected_components(g):
+        label = min(comp)
+        for node in comp:
+            nx_scc[node] = label
+    pairs = spark.createDataFrame(
+        random_multigraph.rename(columns={"u": "src", "v": "dst"})[["src", "dst"]]
+    )
+    mine = (
+        GR.strongly_connected_components(pairs)
+        .toPandas()
+        .set_index("id")["component"]
+        .to_dict()
+    )
+    assert mine == nx_scc
+
+
+def test_strong_components_oneway_cycle_plus_chain(spark):
+    # cycle 0→1→2→3→0 is one SCC; appended oneway chain 3→10→11 is
+    # singletons — the case where weak and strong genuinely differ
+    pdf = pd.DataFrame(
+        {"src": [0, 1, 2, 3, 3, 10], "dst": [1, 2, 3, 0, 10, 11]}
+    )
+    out = (
+        GR.strongly_connected_components(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("id")["component"]
+        .to_dict()
+    )
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 11}
+
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"node_id": [0, 1, 2, 3, 10, 11]}).assign(x=0.0, y=0.0)
+    )
+    edges = spark.createDataFrame(
+        pdf.rename(columns={"src": "u", "dst": "v"}).assign(key=0)
+    )
+    kn, ke = GR.largest_component(nodes, edges, mode="strong")
+    assert set(kn.toPandas()["node_id"]) == {0, 1, 2, 3}
+    kep = ke.toPandas()
+    # the exit edge 3→10 must NOT leak into the strong subgraph
+    assert set(zip(kep["u"], kep["v"])) == {(0, 1), (1, 2), (2, 3), (3, 0)}
+
+
 def test_interstitial_rule_matches_independent_nx_computation(spark):
     """Build a directed multigraph in nx, compute the collapsibility rule
     from nx degree views (an independent implementation), compare."""
