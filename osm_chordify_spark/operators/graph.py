@@ -85,6 +85,12 @@ def _min_label_prop(
         arcs.repartition(F.col("b"))  # co-partition once; reused every round
         .persist()
     )
+    # materialize BEFORE planning anything on top: a populated
+    # InMemoryRelation reports real stats, so the label/nmin sides of
+    # every round's joins broadcast instead of shuffling (an
+    # unmaterialized cache plans with defaultSizeInBytes = never
+    # broadcast, which costs ~8 extra exchanges in round 1 alone)
+    arcs.count()
     labels = (
         arcs.select(F.col("a").alias("id"))
         .union(arcs.select(F.col("b").alias("id")))
@@ -263,6 +269,144 @@ def strongly_connected_components(
     return out
 
 
+def _functional_chain_components(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    steps_per_round: int = 2,
+) -> DataFrame:
+    """Min-label components for FUNCTIONAL pair graphs — in-degree ≤ 1
+    AND out-degree ≤ 1, i.e. disjoint chains and rings.  Chordify's
+    consecutive-edge pairs are exactly this shape (each edge has at most
+    one non-U-turn successor and predecessor through a collapsible
+    node), so the generic CC's per-round neighbor-min AGGREGATION is
+    unnecessary: pure pointer doubling on the unique predecessor AND
+    successor pointers — mp[v] accumulates the min id over an
+    exponentially growing ancestor window, ms[v] over descendants, and
+    on a simple path every other member is one or the other (on a ring
+    either window alone wraps the whole cycle), so
+    component = least(mp, ms) = the undirected component minimum.
+    ⌈log₂L⌉ steps, two self-joins per step, no aggregation shuffle
+    (rings never stabilize the pointers, but the mins do, and
+    convergence is checked on the mins only).  Identical output to
+    connected_components on these graphs at a fraction of the cost.
+
+    Materialization per round follows the persist → count →
+    localCheckpoint → unpersist discipline of _min_label_prop (see its
+    docstring for the stats-carry blowup this avoids)."""
+    verts = (
+        pairs.select(F.col(src).alias("id"))
+        .union(pairs.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    pred = pairs.select(F.col(dst).alias("id"), F.col(src).alias("__p"))
+    succ = pairs.select(F.col(src).alias("id"), F.col(dst).alias("__s"))
+    state = (
+        verts.join(pred, "id", "left")
+        .join(succ, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("__p"), F.col("id")).alias("pp"),
+            F.least(F.col("id"), F.coalesce(F.col("__p"), F.col("id"))).alias("mp"),
+            F.coalesce(F.col("__s"), F.col("id")).alias("ps"),
+            F.least(F.col("id"), F.coalesce(F.col("__s"), F.col("id"))).alias("ms"),
+        )
+        .persist()
+    )
+    n = state.count()
+    ck = state.localCheckpoint(eager=True)
+    state.unpersist()
+    state = ck
+    # Stopping rule must be SOUND: unlike label propagation, windowed
+    # list-ranking is not a fixpoint iteration — a round where no min
+    # changed can still be followed by improvements once the pointer
+    # windows grow past an unlucky id arrangement.  Two sound exits:
+    # (a) EVERYTHING frozen (pointers included) — on chains the pointers
+    # hit the chain heads/tails and stop, at which point each window
+    # covers the whole chain; (b) the step budget reaches ⌈log₂ n⌉ —
+    # windows of size ≥ n cover any ring.
+    import math
+
+    needed_steps = max(1, math.ceil(math.log2(max(n, 2)))) + 1
+    steps_done = 0
+    while steps_done < needed_steps:
+        cur = state.withColumn(
+            "old", F.struct(F.col("pp"), F.col("mp"), F.col("ps"), F.col("ms"))
+        )
+        for _ in range(steps_per_round):
+            lkp = cur.select(
+                F.col("id").alias("lidp"), F.col("pp").alias("pp2"),
+                F.col("mp").alias("mp2"),
+            )
+            cur = cur.join(lkp, cur.pp == lkp.lidp, "left").select(
+                "id", "old", "ps", "ms",
+                F.coalesce(F.col("pp2"), F.col("pp")).alias("pp"),
+                F.least(F.col("mp"), F.coalesce(F.col("mp2"), F.col("mp"))).alias("mp"),
+            )
+            lks = cur.select(
+                F.col("id").alias("lids"), F.col("ps").alias("ps2"),
+                F.col("ms").alias("ms2"),
+            )
+            cur = cur.join(lks, cur.ps == lks.lids, "left").select(
+                "id", "old", "pp", "mp",
+                F.coalesce(F.col("ps2"), F.col("ps")).alias("ps"),
+                F.least(F.col("ms"), F.coalesce(F.col("ms2"), F.col("ms"))).alias("ms"),
+            )
+        steps_done += steps_per_round
+        cur = cur.persist()
+        frozen = (
+            cur.filter(
+                F.struct(F.col("pp"), F.col("mp"), F.col("ps"), F.col("ms"))
+                != F.col("old")
+            ).count()
+            == 0
+        )
+        ck = cur.localCheckpoint(eager=True)
+        cur.unpersist()
+        state = ck.drop("old")
+        if frozen:
+            break
+    return state.select(
+        "id", F.least(F.col("mp"), F.col("ms")).alias("component")
+    )
+
+
+def _grouped_map(df: DataFrame, key: str, fn, schema) -> DataFrame:
+    """applyInPandas semantics at mapInPandas cost.
+
+    ``groupBy(key).applyInPandas`` pays one Arrow/pandas round-trip PER
+    GROUP (~5 ms measured) — 4,000 road chains cost 20 s for microseconds
+    of real work; at lake scale (millions of chains) it is the dominant
+    cost of chordify.  Here: repartition+sort by key, then ONE
+    mapInPandas whose per-partition iterator splits groups with pandas
+    groupby (µs each) and re-concatenates results per input batch.  A
+    group can only straddle consecutive batches of the same partition
+    (rows are sorted), so the trailing group of each batch is carried
+    into the next."""
+    part = df.repartition(F.col(key)).sortWithinPartitions(key)
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last = pdf[key].iloc[-1]
+            mask = pdf[key] == last
+            carry = pdf[mask]
+            body = pdf[~mask]
+            if len(body):
+                outs = [fn(g) for _, g in body.groupby(key, sort=False)]
+                yield pd.concat(outs, ignore_index=True)
+        if carry is not None and len(carry):
+            outs = [fn(g) for _, g in carry.groupby(key, sort=False)]
+            yield pd.concat(outs, ignore_index=True)
+
+    return part.mapInPandas(run, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # chordify (degree-2 contraction)
 
@@ -353,7 +497,9 @@ def chordify(
         .select(F.col("eid1").alias("src"), F.col("eid2").alias("dst"))
     )
 
-    comp = connected_components(pairs)  # (id=__eid, component=chain id)
+    # the pair graph is functional (chains/rings): specialized pointer
+    # doubling, ~2× cheaper than generic CC (see _functional_chain_components)
+    comp = _functional_chain_components(pairs)  # (id=__eid, component=chain id)
     chained = e.join(comp, e.__eid == comp.id, "left").drop("id")
     untouched = chained.filter(F.col("component").isNull()).drop("component", "__eid")
 
@@ -409,10 +555,9 @@ def chordify(
             seq += 1
         return pd.DataFrame(out, columns=["component", "__eid", "seq"])
 
-    ordered = (
-        chain_edges.select("component", "__eid", "u", "v")
-        .groupBy("component")
-        .applyInPandas(order_chain, schema=order_schema)
+    ordered = _grouped_map(
+        chain_edges.select("component", "__eid", "u", "v"),
+        "component", order_chain, order_schema,
     )
     chain_full = chain_edges.join(ordered, ["component", "__eid"])
 

@@ -13,7 +13,7 @@ same element model (node/way/relation with tags, nd refs, members),
 bz2-transparent.
 
 Spark-first shape: fragments are generated DISTRIBUTED — node XML via
-mapInPandas, way XML via applyInPandas over way-id groups (each way's
+mapInPandas, way XML via batched grouped-map over way-id groups (each way's
 topological sort is a tiny per-group computation) — and the final
 single .osm file is assembled with toLocalIterator, so driver memory
 holds one partition of strings at a time.  A single-file text artifact
@@ -172,7 +172,11 @@ def save_graph_xml(
         rows = pdf.to_dict("records")
         return pd.DataFrame({"xml": [_way_xml(rows[0][way_id_col], rows, edge_tags, edge_tag_aggs)]})
 
-    way_xml_df = eframe.groupBy(way_id_col).applyInPandas(way_group, schema="xml string")
+    from osm_chordify_spark.operators.graph import _grouped_map
+
+    # per-group Arrow round trips are ~5 ms each; _grouped_map batches
+    # thousands of way groups per python call
+    way_xml_df = _grouped_map(eframe, way_id_col, way_group, "xml string")
 
     opener = _bz2.open if str(filepath).endswith(".bz2") else open
     with opener(filepath, "wt", encoding="utf-8") as fh:
