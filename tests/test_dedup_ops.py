@@ -116,6 +116,26 @@ def test_dedup_from_pairs_transitive(spark, docs):
     assert sorted(out["doc_id"]) == [0, 3, 4, 5]
 
 
+def test_ann_lsh_recall_floor_on_embeddings_table(spark):
+    """VERDICT r1 #9: a stated recall bound on the real embeddings
+    fixture — recall@5 of the SRP-bucketed ANN vs exact cosine top-k
+    must stay ≥ 0.6 at these (seeded, deterministic) parameters."""
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ANN.cosine_topk(df, queries, k=5).toPandas()
+    approx = ANN.lsh_bucket_topk(
+        df, queries, dim=64, k=5, n_bits=8, n_tables=8
+    ).toPandas()
+    e = set(map(tuple, exact[["query_id", "vec_id"]].itertuples(index=False)))
+    a = set(map(tuple, approx[["query_id", "vec_id"]].itertuples(index=False)))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"recall@5 {recall:.2f} below the 0.6 floor"
+
+
 def test_ann_lsh_recall_vs_exact(spark):
     import numpy as np
 
