@@ -758,7 +758,11 @@ def ann_lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return _ANN.lsh_bucket_topk(emb, queries, dim=dim, k=5)
+    # few bits + several tables: the synthetic embeddings are near-
+    # uniform on the sphere (the SRP hard case) — recall@5 ≥ 0.6 at
+    # these settings is pytest-asserted (test_dedup_ops); at lake scale
+    # n_bits should grow ~log2(n / target_bucket_size)
+    return _ANN.lsh_bucket_topk(emb, queries, dim=dim, k=5, n_bits=4, n_tables=12)
 
 
 # ---------------------------------------------------------------------------

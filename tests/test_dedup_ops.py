@@ -127,8 +127,12 @@ def test_ann_lsh_recall_floor_on_embeddings_table(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = ANN.cosine_topk(df, queries, k=5).toPandas()
+    # these embeddings are near-uniform on the sphere (weak angular
+    # clustering), the hard case for SRP buckets: recall needs FEW bits
+    # per table and several tables (measured: 8 bits/8 tables -> 0.10,
+    # 4 bits/8 tables -> 0.76)
     approx = ANN.lsh_bucket_topk(
-        df, queries, dim=64, k=5, n_bits=8, n_tables=8
+        df, queries, dim=64, k=5, n_bits=4, n_tables=12
     ).toPandas()
     e = set(map(tuple, exact[["query_id", "vec_id"]].itertuples(index=False)))
     a = set(map(tuple, approx[["query_id", "vec_id"]].itertuples(index=False)))
