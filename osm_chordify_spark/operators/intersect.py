@@ -609,50 +609,77 @@ def spatial_left_join_with_zones(
             out_rows = []
             geoms = pdf["geometry"].tolist()
             base_rows = pdf.to_dict("records")
-            for r in range(len(pdf)):
+            n_rows = len(pdf)
+            hits: list[set] = [set() for _ in range(n_rows)]
+            pending: dict[int, list[int]] = {}
+            row_parts: list = [None] * n_rows
+            for r in range(n_rows):
                 if geometry_kind == "line":
                     parts = G.geometry_lines(bytes(geoms[r]))
                     xs = np.concatenate([p[:, 0] for p in parts])
                     ys = np.concatenate([p[:, 1] for p in parts])
                 else:
-                    polys_ = G.geometry_polygons(bytes(geoms[r]))
-                    xs = np.concatenate([p[0][:, 0] for p in polys_])
-                    ys = np.concatenate([p[0][:, 1] for p in polys_])
+                    parts = G.geometry_polygons(bytes(geoms[r]))
+                    xs = np.concatenate([p[0][:, 0] for p in parts])
+                    ys = np.concatenate([p[0][:, 1] for p in parts])
+                row_parts[r] = parts
                 cover = ci.cover_bbox(
                     xs.min(), ys.min(), xs.max(), ys.max(), idx.res, idx.world,
                     max_cells=1 << 20,
                 )
                 _, zcand, full = idx.candidates_for_cells(np.sort(cover))
-                hits = []
                 for z in np.unique(zcand):
                     zmask = zcand == z
                     if full[zmask].all() and zmask.sum() == len(cover):
-                        hits.append(z)
+                        hits[r].add(int(z))
+                    else:
+                        pending.setdefault(int(z), []).append(r)
+            # exact touch tests batched per zone (same shape as the
+            # intersect-lines kernel); polygons stay per-row (rare path)
+            for z, rows_list in pending.items():
+                if geometry_kind == "line":
+                    p0s, p1s, rowidx = [], [], []
+                    for cr, r in enumerate(rows_list):
+                        for ln in row_parts[r]:
+                            if len(ln) < 2:
+                                continue
+                            p0s.append(ln[:-1])
+                            p1s.append(ln[1:])
+                            rowidx.append(np.full(len(ln) - 1, cr, np.int64))
+                    if not p0s:
                         continue
-                    touched = False
+                    P0 = np.vstack(p0s)
+                    P1 = np.vstack(p1s)
+                    srow = np.concatenate(rowidx)
+                    seg_len = np.hypot(P1[:, 0] - P0[:, 0], P1[:, 1] - P0[:, 1])
+                    totals = np.zeros(len(rows_list))
                     for rings in zgeoms[z]:
-                        if geometry_kind == "line":
-                            for p in parts:
-                                if G.clip_line_polygon(p, rings)[1] > 0:
-                                    touched = True
-                                    break
-                        else:
-                            for srings in polys_:
+                        sidx, t0, t1 = G.clip_segments_batch(P0, P1, rings)
+                        np.add.at(totals, srow[sidx], seg_len[sidx] * (t1 - t0))
+                    for cr, r in enumerate(rows_list):
+                        if totals[cr] > 0:
+                            hits[r].add(z)
+                else:
+                    for r in rows_list:
+                        touched = False
+                        for rings in zgeoms[z]:
+                            for srings in row_parts[r]:
                                 if G.poly_poly_area(srings, rings) > 0:
                                     touched = True
                                     break
+                            if touched:
+                                break
                         if touched:
-                            break
-                    if touched:
-                        hits.append(z)
+                            hits[r].add(z)
+            for r in range(n_rows):
                 base = base_rows[r]
-                if not hits:
+                if not hits[r]:
                     row = dict(base)
                     for cname in zattrs.columns:
                         row[zone_renames[cname]] = None
                     out_rows.append(row)
                 else:
-                    for z in hits:
+                    for z in sorted(hits[r]):
                         row = dict(base)
                         zrow = zone_rows[int(z)]
                         for cname in zattrs.columns:
