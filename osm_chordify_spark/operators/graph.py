@@ -423,47 +423,49 @@ def interstitial_nodes(edges: DataFrame, edge_attrs_differ: list[str]) -> DataFr
     inverted — reference graph.py:922-962 via ox.simplify_graph):
     exactly 2 distinct neighbors, in-degree == out-degree ∈ {1, 2},
     no incident self-loop, and all incident edges agree on
-    ``edge_attrs_differ``."""
-    non_loop = edges.filter(F.col("u") != F.col("v"))
-    outs = non_loop.groupBy(F.col("u").alias("node")).agg(
-        F.count("*").alias("out_deg"), F.collect_set("v").alias("out_nbrs")
-    )
-    ins = non_loop.groupBy(F.col("v").alias("node")).agg(
-        F.count("*").alias("in_deg"), F.collect_set("u").alias("in_nbrs")
-    )
-    loops = (
-        edges.filter(F.col("u") == F.col("v"))
-        .select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("has_loop", F.lit(True))
-    )
+    ``edge_attrs_differ``.
+
+    One incident-row union + ONE groupBy computes every per-node
+    statistic (degrees, neighbor sets, loop flag, attr-variant count) —
+    the round-1 shape ran four separate aggregations and three joins
+    (4 shuffles) for the same answer."""
     attr_cols = [c for c in edge_attrs_differ if c in edges.columns]
-    incident = non_loop.select(
-        F.col("u").alias("node"), *[F.col(c) for c in attr_cols]
+    attr_struct = (
+        F.struct(*[F.col(c) for c in attr_cols]) if attr_cols else F.lit(1)
+    )
+    is_loop = F.col("u") == F.col("v")
+    incident = edges.select(
+        F.col("u").alias("node"),
+        F.lit(1).alias("is_out"),
+        F.col("v").alias("nbr"),
+        is_loop.alias("loop"),
+        attr_struct.alias("__attrs"),
     ).union(
-        non_loop.select(F.col("v").alias("node"), *[F.col(c) for c in attr_cols])
-    )
-    if attr_cols:
-        compat = incident.groupBy("node").agg(
-            F.countDistinct(F.struct(*[F.col(c) for c in attr_cols])).alias(
-                "n_attr_variants"
-            )
+        edges.select(
+            F.col("v").alias("node"),
+            F.lit(0).alias("is_out"),
+            F.col("u").alias("nbr"),
+            is_loop.alias("loop"),
+            attr_struct.alias("__attrs"),
         )
-    else:
-        compat = incident.select("node").distinct().withColumn(
-            "n_attr_variants", F.lit(1)
-        )
-    deg = (
-        outs.join(ins, "node", "inner")  # need both in and out edges
-        .join(loops, "node", "left")
-        .join(compat, "node", "left")
     )
-    return deg.filter(
-        (F.size(F.array_distinct(F.concat("out_nbrs", "in_nbrs"))) == 2)
+    stats = incident.groupBy("node").agg(
+        F.sum(F.when((F.col("is_out") == 1) & ~F.col("loop"), 1).otherwise(0)).alias("out_deg"),
+        F.sum(F.when((F.col("is_out") == 0) & ~F.col("loop"), 1).otherwise(0)).alias("in_deg"),
+        F.size(
+            F.array_distinct(F.collect_list(F.when(~F.col("loop"), F.col("nbr"))))
+        ).alias("n_nbrs"),
+        F.max(F.when(F.col("loop"), 1).otherwise(0)).alias("has_loop"),
+        F.countDistinct(F.when(~F.col("loop"), F.col("__attrs"))).alias(
+            "n_attr_variants"
+        ),
+    )
+    return stats.filter(
+        (F.col("n_nbrs") == 2)
         & (F.col("in_deg") == F.col("out_deg"))
         & F.col("in_deg").isin(1, 2)
-        & F.col("has_loop").isNull()
-        & (F.coalesce(F.col("n_attr_variants"), F.lit(1)) <= 1)
+        & (F.col("has_loop") == 0)
+        & (F.col("n_attr_variants") <= 1)
     ).select("node")
 
 
