@@ -301,6 +301,10 @@ def _functional_chain_components(
     )
     pred = pairs.select(F.col(dst).alias("id"), F.col(src).alias("__p"))
     succ = pairs.select(F.col(src).alias("id"), F.col(dst).alias("__s"))
+    # init stays LAZY: it feeds round 1's join chain directly (one
+    # round of lazy depth is fine — only the round-over-round compounding
+    # needs the materialization discipline); n comes from a cheap count
+    # of the vertex set
     state = (
         verts.join(pred, "id", "left")
         .join(succ, "id", "left")
@@ -314,9 +318,6 @@ def _functional_chain_components(
         .persist()
     )
     n = state.count()
-    ck = state.localCheckpoint(eager=True)
-    state.unpersist()
-    state = ck
     # Stopping rule must be SOUND: unlike label propagation, windowed
     # list-ranking is not a fixpoint iteration — a round where no min
     # changed can still be followed by improvements once the pointer
@@ -329,6 +330,7 @@ def _functional_chain_components(
 
     needed_steps = max(1, math.ceil(math.log2(max(n, 2)))) + 1
     steps_done = 0
+    init = state
     while steps_done < needed_steps:
         cur = state.withColumn(
             "old", F.struct(F.col("pp"), F.col("mp"), F.col("ps"), F.col("ms"))
@@ -366,6 +368,7 @@ def _functional_chain_components(
         state = ck.drop("old")
         if frozen:
             break
+    init.unpersist()
     return state.select(
         "id", F.least(F.col("mp"), F.col("ms")).alias("component")
     )
