@@ -146,11 +146,12 @@ def knn_match(
                 (F.count("*").over(wp) >= k)
                 & (F.max("__dist").over(wp) <= F.lit(bound)),
             )
-            .persist()
         )
-        ranked.count()
+        # direct eager checkpoint: unlike the CC loop, each round's
+        # inputs are an RDD (real carried stats) and the parquet-backed
+        # segs projection, so stats cannot compound round-over-round
+        # and no pre-count materialization is needed
         ranked_ck = ranked.localCheckpoint(eager=True)
-        ranked.unpersist()
         finished_parts.append(
             ranked_ck.filter(F.col("__done")).select(
                 "__pid", "__sid", "__dist", "__rank"
