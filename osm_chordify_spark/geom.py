@@ -395,11 +395,31 @@ def triangulate(ring: np.ndarray) -> list[np.ndarray]:
     return tris
 
 
+_TRI_CACHE: dict = {}
+
+
+def triangulate_cached(ring: np.ndarray) -> list[np.ndarray]:
+    """Identity-memoized triangulate: the polygon-intersection operators
+    clip MANY subjects against the SAME broadcast zone rings, and
+    ear-clipping the zone per pair was the dominant per-pair cost.  The
+    cache holds a strong reference to the keyed ring, so its id() can't
+    be recycled while the entry lives."""
+    key = id(ring)
+    hit = _TRI_CACHE.get(key)
+    if hit is not None and hit[0] is ring:
+        return hit[1]
+    tris = triangulate(ring)
+    if len(_TRI_CACHE) > 4096:
+        _TRI_CACHE.clear()
+    _TRI_CACHE[key] = (ring, tris)
+    return tris
+
+
 def _ring_pair_area(subject: np.ndarray, clip: np.ndarray) -> float:
     """Area of intersection of two simple rings (general, via ear-clip of
     the clip ring into convex triangles + Sutherland–Hodgman per triangle)."""
     a = 0.0
-    for tri in triangulate(clip):
+    for tri in triangulate_cached(clip):
         clipped = clip_poly_convex(subject, tri)
         if len(clipped) >= 3:
             a += abs(shoelace_area(clipped))
@@ -428,7 +448,7 @@ def clip_poly_general(subject_rings, clip_rings) -> list[np.ndarray]:
     approximated as the union of per-triangle clips).  Used for output
     geometry only — areas always come from poly_poly_area()."""
     pieces = []
-    for tri in triangulate(clip_rings[0]):
+    for tri in triangulate_cached(clip_rings[0]):
         clipped = clip_poly_convex(subject_rings[0], tri)
         if len(clipped) >= 3 and abs(shoelace_area(clipped)) > 1e-12:
             pieces.append(clipped)
