@@ -136,9 +136,14 @@ def _seg_ring_params(ax, ay, bx, by, ring: np.ndarray) -> np.ndarray:
     dx_, dy_ = r[1:, 0] - cx, r[1:, 1] - cy
     ex, ey = bx - ax, by - ay
     denom = ex * dy_ - ey * dx_
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = ((cx - ax) * dy_ - (cy - ay) * dx_) / denom
-        u = ((cx - ax) * ey - (cy - ay) * ex) / denom
+    # near-parallel pairs make denom tiny: dividing by it can overflow to
+    # inf (RuntimeWarning) and a future edit could silently turn that into
+    # NaN propagation — divide by a masked-safe denominator instead and
+    # keep the explicit denom != 0 gate
+    safe = np.where(denom == 0.0, 1.0, denom)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        t = ((cx - ax) * dy_ - (cy - ay) * dx_) / safe
+        u = ((cx - ax) * ey - (cy - ay) * ex) / safe
     ok = (denom != 0) & (t > 0.0) & (t < 1.0) & (u >= 0.0) & (u <= 1.0)
     return t[ok]
 
@@ -233,9 +238,13 @@ def clip_segments_batch(P0: np.ndarray, P1: np.ndarray, rings,
     Returns (seg_idx, t0, t1): int64/float64 arrays sorted by
     (seg_idx, t0) describing the sub-intervals of segment ``seg_idx``
     that lie inside the polygon.  Element-wise arithmetic, crossing
-    extraction, dedup, midpoint classification and summation order are
-    identical to the per-edge path, so lengths round to the same 2 dp
-    and reconstructed pieces are byte-identical.
+    extraction, dedup and midpoint classification are identical to the
+    per-edge path; reconstructed pieces are byte-identical.  Length
+    SUMMATION grouping is the caller's concern: to reproduce the
+    per-edge path's floating-point accumulation order exactly,
+    accumulate per-source-line subtotals first and then sum the
+    subtotals per edge (see intersect_lines_with_zones), rather than
+    flat-adding every interval into a per-edge total.
 
     ``chunk`` bounds the (segments × ring-vertices) broadcast so a 10k-
     vertex county ring against a 100k-segment batch stays in-cache."""
@@ -262,10 +271,11 @@ def clip_segments_batch(P0: np.ndarray, P1: np.ndarray, rings,
             axc, ayc = ax[s:e, None], ay[s:e, None]
             exc, eyc = ex[s:e, None], ey[s:e, None]
             denom = exc * dyr[None, :] - eyc * dxr[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
+            safe = np.where(denom == 0.0, 1.0, denom)
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
                 t = ((cx[None, :] - axc) * dyr[None, :]
-                     - (cy[None, :] - ayc) * dxr[None, :]) / denom
-                u = ((cx[None, :] - axc) * eyc - (cy[None, :] - ayc) * exc) / denom
+                     - (cy[None, :] - ayc) * dxr[None, :]) / safe
+                u = ((cx[None, :] - axc) * eyc - (cy[None, :] - ayc) * exc) / safe
             ok = (denom != 0) & (t > 0.0) & (t < 1.0) & (u >= 0.0) & (u <= 1.0)
             ii, jj = np.nonzero(ok)
             if len(ii):

@@ -279,7 +279,13 @@ def minhash_lsh_pairs(
         shingles_and_signature_np(F.col(text_col), num_perm, shingle_k).alias("__ss"),
     ).select("id", F.col("__ss.sh").alias("sh"), F.col("__ss.sig").alias("sig"))
     if verify_threshold is not None:
-        sig = sig.persist()
+        from pyspark import StorageLevel
+
+        # shingle arrays + signatures are the largest intermediate; spill
+        # to disk rather than pinning executor storage, and unpersist once
+        # the verified result is materialized (below) so repeated calls in
+        # a long-running pipeline don't accrete cached blocks
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         "id",
         F.explode(
@@ -315,11 +321,16 @@ def minhash_lsh_pairs(
         jac = F.size(
             F.filter(F.zip_with("p_a", "p_b", lambda x, y: x == y), lambda m: m)
         ) / F.lit(float(num_perm))
-    return (
+    out = (
         cand.withColumn("jac", jac)
         .filter(F.col("jac") >= verify_threshold)
         .select("id_a", "id_b", "jac")
     )
+    # verified pairs are tiny relative to sig: materialize them eagerly so
+    # the sig cache can be dropped here instead of leaking for the session
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 def minhash_lsh_dedup(

@@ -500,11 +500,30 @@ def chordify(
         e1.join(inter, e1.v1 == inter.node)
         .join(e2, (F.col("v1") == F.col("u2")) & (F.col("v2") != F.col("u1")))
         .select(F.col("eid1").alias("src"), F.col("eid2").alias("dst"))
-    )
+    ).persist()
 
-    # the pair graph is functional (chains/rings): specialized pointer
-    # doubling, ~2× cheaper than generic CC (see _functional_chain_components)
-    comp = _functional_chain_components(pairs)  # (id=__eid, component=chain id)
+    # _functional_chain_components requires the pair graph to be
+    # FUNCTIONAL (in/out-degree ≤ 1).  True parallel multigraph edges
+    # (two a→w edges plus two w→b edges with identical attrs) break it:
+    # node w passes the interstitial filter yet gives each edge 2
+    # successors, and the functional doubling would then emit duplicate
+    # (id, component) rows — silent chain double-counting downstream.
+    # Detect any fan-out/fan-in with one cheap agg and fall back to the
+    # generic connected_components (one row per id guaranteed) for such
+    # inputs; road networks virtually never trip this, so the common
+    # path stays on the specialized doubling.
+    fan = (
+        pairs.select(F.col("src").alias("k"), F.lit(0).alias("side"))
+        .union(pairs.select(F.col("dst").alias("k"), F.lit(1).alias("side")))
+        .groupBy("k", "side")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    if fan.isEmpty():
+        comp = _functional_chain_components(pairs)  # (id=__eid, component)
+    else:
+        comp = connected_components(pairs)
+    pairs.unpersist()
     chained = e.join(comp, e.__eid == comp.id, "left").drop("id")
     untouched = chained.filter(F.col("component").isNull()).drop("component", "__eid")
 

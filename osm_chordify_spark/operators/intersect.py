@@ -276,6 +276,17 @@ def intersect_lines_with_zones(
     schema, edge_renames, zone_renames, edge_attr_cols = _result_schema(
         edges.schema, zones, metric_names, zone_label, keep_geometry
     )
+    if include_void_zones:
+        # hidden zone ordinal: void-row bookkeeping must key on the zone
+        # ITSELF, not its (possibly duplicated) attribute tuple — two
+        # distinct zones with identical attrs would otherwise conflate
+        # (reference keys on zone index, intersect.py:847-859); dropped
+        # before return
+        from pyspark.sql.types import IntegerType
+
+        schema = StructType(
+            list(schema.fields) + [StructField("__zone_ord", IntegerType(), True)]
+        )
     spark = edges.sparkSession
     index = zones.index(res=index_res)
     b_index = spark.sparkContext.broadcast(index)
@@ -304,6 +315,8 @@ def intersect_lines_with_zones(
 
             def emit(r, z, prop, edge_len, zone_len, pieces):
                 row = {mp: prop, me: edge_len, mz: zone_len}
+                if include_void_zones:
+                    row["__zone_ord"] = int(z)
                 if keep_geometry:
                     row["geometry"] = (
                         G.wkb_linestring(pieces[0])
@@ -348,30 +361,37 @@ def intersect_lines_with_zones(
             # small-array overhead) with (segments × ring) NumPy passes
             for z, rows_list in pending.items():
                 p0s, p1s, rowidx, lineidx = [], [], [], []
+                line_row: list[int] = []  # global line ordinal → edge row
                 for cr, r in enumerate(rows_list):
-                    for li, ln in enumerate(edge_lines[r]):
+                    for ln in edge_lines[r]:
                         if len(ln) < 2:
                             continue
                         k = len(ln) - 1
                         p0s.append(ln[:-1])
                         p1s.append(ln[1:])
                         rowidx.append(np.full(k, cr, np.int64))
-                        lineidx.append(np.full(k, li, np.int64))
+                        lineidx.append(np.full(k, len(line_row), np.int64))
+                        line_row.append(cr)
                 if not p0s:
                     continue
                 P0 = np.vstack(p0s)
                 P1 = np.vstack(p1s)
                 srow = np.concatenate(rowidx)
-                sline = np.concatenate(lineidx)
+                sline = np.concatenate(lineidx)  # global line ordinal per seg
                 seg_len = np.hypot(P1[:, 0] - P0[:, 0], P1[:, 1] - P0[:, 1])
-                totals = np.zeros(len(rows_list))
+                # accumulate PER-LINE subtotals first (sequential adds in
+                # (seg, t) order within each line), then sum subtotals per
+                # edge in line order — the exact floating-point grouping of
+                # the per-edge path's ``total += ln_in`` loop, so results
+                # can't flip on a .005 rounding boundary between the paths
+                line_tot = np.zeros(len(line_row))
                 per_poly_iv = []
                 for rings in zgeoms[z]:
                     sidx, t0, t1 = G.clip_segments_batch(P0, P1, rings)
                     per_poly_iv.append((sidx, t0, t1))
-                    # unbuffered add in (seg, t) order = the sequential
-                    # accumulation order of the per-edge path
-                    np.add.at(totals, srow[sidx], seg_len[sidx] * (t1 - t0))
+                    np.add.at(line_tot, sline[sidx], seg_len[sidx] * (t1 - t0))
+                totals = np.zeros(len(rows_list))
+                np.add.at(totals, np.asarray(line_row, np.int64), line_tot)
                 for cr, r in enumerate(rows_list):
                     zone_len = round(float(totals[cr]), 2)
                     if zone_len <= 0:
@@ -391,13 +411,21 @@ def intersect_lines_with_zones(
     result = edges.mapInPandas(compute, schema=schema)
     if include_void_zones:
         result = _append_void_rows(result, edges, zones, schema, zone_renames)
+        result = result.drop("__zone_ord")
     return result
 
 
 def _append_void_rows(result, edges, zones, schema, zone_renames):
     """Union one NULL-metric row per bbox-kept zone with no pieces
-    (reference intersect.py:347-382 + :847-859).  The matched-zone set
-    is tiny (≤ #zones), so the collect here is a scalar-sized action."""
+    (reference intersect.py:347-382 + :847-859).
+
+    Matched zones are keyed by the hidden ``__zone_ord`` ordinal carried
+    through the kernel — NOT by the zone attribute tuple, which would
+    conflate distinct zones with identical attrs and silently drop their
+    void rows.  ``result`` is materialized ONCE (eager localCheckpoint)
+    before the matched-ordinal probe, so the exact clip kernel never
+    runs twice — the probe and all downstream consumption read the
+    checkpointed blocks."""
     # edge bbox via a tiny pandas agg over WKB (batch-local min/max)
     @F.pandas_udf("x0 double, y0 double, x1 double, y1 double")
     def _bbox(geom: pd.Series) -> pd.DataFrame:
@@ -420,23 +448,17 @@ def _append_void_rows(result, edges, zones, schema, zone_renames):
         .collect()[0]
     )
     kept = zones.bbox_filter((bb.x0, bb.y0, bb.x1, bb.y1))
-    # which kept zones actually matched?  zone attrs may not be unique, so
-    # match on the full renamed attr tuple of the first zone attr column —
-    # we instead recompute by ordinal: carry a probe on zone_renames of the
-    # first column when available, else skip void rows entirely.
-    zcols = [zone_renames[c] for c in zones.attrs.columns]
-    if not zcols:
-        return result
-    matched_attr_rows = {
-        tuple(r) for r in result.select(*zcols).distinct().collect()
+    result = result.localCheckpoint(eager=True)
+    matched = {
+        int(r[0]) for r in result.select("__zone_ord").distinct().collect()
     }
     void = []
     for z in kept:
-        zrow = tuple(zones.attrs.iloc[int(z)][c] for c in zones.attrs.columns)
-        if zrow not in matched_attr_rows:
+        if int(z) not in matched:
             row = {name: None for name in [f.name for f in schema.fields]}
             for cname, out in zone_renames.items():
                 row[out] = zones.attrs.iloc[int(z)][cname]
+            row["__zone_ord"] = int(z)
             void.append(row)
     if not void:
         return result

@@ -133,17 +133,25 @@ def save_graph_xml(
     node_frag = (
         nodes.select(
             F.col("node_id").cast("string").alias("id"),
-            F.round(F.col("y"), PRECISION).cast("string").alias("lat"),
-            F.round(F.col("x"), PRECISION).cast("string").alias("lon"),
+            F.col("y").cast("double").alias("lat"),
+            F.col("x").cast("double").alias("lon"),
             *[F.col(t).cast("string").alias(t) for t in NODE_TAGS if t in nodes.columns],
         )
     )
+
+    def _fmt_coord(v: float) -> str:
+        # FIXED-decimal 7 dp: Spark's double→string cast emits scientific
+        # notation for small magnitudes (1.1e-05 → '1.1E-5'), which breaks
+        # the OSM XML contract for graphs near the equator/prime meridian
+        s = f"{float(v):.{PRECISION}f}".rstrip("0").rstrip(".")
+        return s if s not in ("-0", "") else "0"
 
     def node_xml(batches):
         for pdf in batches:
             out = []
             for r in pdf.to_dict("records"):
-                attrs = {"id": r["id"], **_FIXED_ATTRS, "lat": r["lat"], "lon": r["lon"]}
+                attrs = {"id": r["id"], **_FIXED_ATTRS,
+                         "lat": _fmt_coord(r["lat"]), "lon": _fmt_coord(r["lon"])}
                 tags = [
                     f'    <tag k={quoteattr(t)} v={quoteattr(str(r[t]))}/>'
                     for t in NODE_TAGS

@@ -251,3 +251,23 @@ def test_filter_boundaries_by_density(spark):
     assert (out["density_pctile"] >= 50.0).all()
     assert out.loc[out.GEOID == "c", "density_per_km2"].iloc[0] == 5000.0
     assert out.loc[out.GEOID == "a", "density_pctile"].iloc[0] == 50.0
+
+
+def test_chordify_parallel_multigraph_edges_no_double_count(spark):
+    """Parallel multigraph edges (two 1→2 plus two 2→3 with identical
+    attrs) make node 2 pass the interstitial filter while breaking the
+    functional-chain precondition (each edge has 2 successors).  The
+    fan-out guard must fall back to generic connected components: ONE
+    chord, lengths summed once — never duplicated chain rows or
+    double-counted aggregates."""
+    rows = [
+        (1, 2, 0, 101, 1.0, "residential", "yes"),
+        (1, 2, 1, 102, 1.0, "residential", "yes"),
+        (2, 3, 0, 103, 1.0, "residential", "yes"),
+        (2, 3, 1, 104, 1.0, "residential", "yes"),
+    ]
+    out = GR.chordify(_edges(spark, rows), edge_attrs_differ=["highway"]).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["length"] == 4.0  # each edge counted exactly once
+    assert sorted(r["merged_osmids"]) == [101, 102, 103, 104]

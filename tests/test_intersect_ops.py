@@ -273,3 +273,25 @@ def test_chained_labeled_intersections_prefix_rules(spark, line_edges):
     assert r["edge_inmap_cell_id"] == "i1"
     # second intersection: 10m piece clipped to 5m
     assert r["aermod_zone_edge_proportion"] == 0.5
+
+
+def test_void_rows_keyed_by_zone_ordinal_not_attrs(spark):
+    """Two DISTINCT zones with IDENTICAL attribute tuples, one matched and
+    one not: the unmatched one must still yield a void row (the reference
+    keys void bookkeeping on zone index, intersect.py:847-859 — keying on
+    the attr tuple would conflate the twins and silently drop the void)."""
+    bent = G.wkb_linestring([[0.0, 0.0], [10.0, 0.0], [10.0, 2.0]])
+    edges = _edges_df(spark, [(2, "e2", 12.0, 1.0, bytearray(bent))])
+    matched_twin = _zone("dup", [[0.0, -1.0], [5.0, -1.0], [5.0, 1.0], [0.0, 1.0]])
+    void_twin = _zone("dup", [[1.0, 1.0], [2.0, 1.0], [2.0, 1.9], [1.0, 1.9]])
+    zones = I.Zones.from_records([matched_twin, void_twin])
+    out = I.intersect_lines_with_zones(
+        edges, zones, include_void_zones=True
+    ).toPandas()
+    assert "__zone_ord" not in out.columns  # hidden key dropped before return
+    dup = out[out["zone_zone_id"] == "dup"]
+    assert len(dup) == 2
+    real = dup[dup["zone_edge_proportion"].notna()]
+    void = dup[dup["zone_edge_proportion"].isna()]
+    assert len(real) == 1 and len(void) == 1
+    assert pd.isna(void.iloc[0]["edge_link_length_m"])
