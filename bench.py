@@ -152,6 +152,7 @@ def run_relational(spark: SparkSession, sf_dir: str) -> dict:
         "event_type_top8",
         "pages_zone_pip",
         "zone_intersect_lines",
+        "zone_intersect_lines_dist",
         "chordify_contraction",
         "knn_segment_match",
         "minhash_lsh_dedup",
@@ -161,6 +162,7 @@ def run_relational(spark: SparkSession, sf_dir: str) -> dict:
     qs = m.queries()
     heavy = {
         "zone_intersect_lines",
+        "zone_intersect_lines_dist",
         "chordify_contraction",
         "knn_segment_match",
         "minhash_lsh_dedup",

@@ -43,8 +43,11 @@ __all__ = [
 ]
 
 
-def _as_zones(zones) -> I.Zones:
-    if isinstance(zones, I.Zones):
+def _as_zones(zones):
+    if isinstance(zones, (I.Zones, DataFrame)):
+        # a DataFrame zone table routes line intersections through the
+        # distributed cell-join path (operators.intersect_dist) — the
+        # non-broadcastable-zones shape
         return zones
     return I.Zones.from_records(zones)
 

@@ -190,8 +190,11 @@ class Zones:
 # -- schema assembly ----------------------------------------------------------
 
 
-def _result_schema(edges_schema, zones: Zones, metric_names, zone_label,
-                   keep_geometry, extra_metrics=()):
+def _assemble_schema(edges_schema, zone_fields, metric_names, zone_label,
+                     keep_geometry, extra_metrics=()):
+    """Output schema + rename maps from edge schema and zone attr
+    StructFields — the single naming authority shared by the broadcast
+    and distributed paths (so their outputs are schema-identical)."""
     cols: list[StructField] = []
     ordered = [metric_names["proportion"], metric_names["edge_length"],
                metric_names["zone_length"], *extra_metrics]
@@ -216,16 +219,31 @@ def _result_schema(edges_schema, zones: Zones, metric_names, zone_label,
         cols.append(StructField(out, f.dataType, True))
         existing.add(out)
     zone_renames = {}
+    for zf in zone_fields:
+        out = zone_output_name(zf.name, existing, prefix=_label(zone_label) or "zone")
+        zone_renames[zf.name] = out
+        cols.append(StructField(out, zf.dataType, True))
+        existing.add(out)
+    return StructType(cols), edge_renames, zone_renames, list(edge_renames)
+
+
+def _result_schema(edges_schema, zones: Zones, metric_names, zone_label,
+                   keep_geometry, extra_metrics=()):
     from pyspark.sql.pandas.types import from_arrow_type
     import pyarrow as pa
 
-    for cname in zones.attrs.columns:
-        out = zone_output_name(cname, existing, prefix=_label(zone_label) or "zone")
-        zone_renames[cname] = out
-        pa_type = pa.Schema.from_pandas(zones.attrs[[cname]]).field(0).type
-        cols.append(StructField(out, from_arrow_type(pa_type), True))
-        existing.add(out)
-    return StructType(cols), edge_renames, zone_renames, list(edge_renames)
+    zone_fields = [
+        StructField(
+            cname,
+            from_arrow_type(pa.Schema.from_pandas(zones.attrs[[cname]]).field(0).type),
+            True,
+        )
+        for cname in zones.attrs.columns
+    ]
+    return _assemble_schema(
+        edges_schema, zone_fields, metric_names, zone_label, keep_geometry,
+        extra_metrics,
+    )
 
 
 def _assemble_pieces(P0, P1, sline, sidx, t0, t1):
@@ -256,6 +274,57 @@ def _assemble_pieces(P0, P1, sline, sidx, t0, t1):
     return pieces
 
 
+def _exact_clip_edges_vs_zone(lines_per_edge, zpolys, keep_geometry):
+    """Batched exact clip of many edges' polylines against ONE zone
+    (list of polygons-with-holes).  Shared by the broadcast and
+    distributed paths so their floating-point accumulation is identical:
+    per-line subtotals accumulate in (seg, t) order, then sum per edge
+    in line order (the per-edge path's ``total += ln_in`` grouping).
+
+    Returns (totals, pieces_per): raw (unrounded) inside length per edge
+    and, when keep_geometry, the reconstructed inside sub-polylines per
+    edge (None where empty)."""
+    n_edges = len(lines_per_edge)
+    p0s, p1s, rowidx, lineidx = [], [], [], []
+    line_row: list[int] = []  # global line ordinal → edge index
+    for cr, lines in enumerate(lines_per_edge):
+        for ln in lines:
+            if len(ln) < 2:
+                continue
+            k = len(ln) - 1
+            p0s.append(ln[:-1])
+            p1s.append(ln[1:])
+            rowidx.append(np.full(k, cr, np.int64))
+            lineidx.append(np.full(k, len(line_row), np.int64))
+            line_row.append(cr)
+    if not p0s:
+        return np.zeros(n_edges), [None] * n_edges
+    P0 = np.vstack(p0s)
+    P1 = np.vstack(p1s)
+    srow = np.concatenate(rowidx)
+    sline = np.concatenate(lineidx)
+    seg_len = np.hypot(P1[:, 0] - P0[:, 0], P1[:, 1] - P0[:, 1])
+    line_tot = np.zeros(len(line_row))
+    per_poly_iv = []
+    for rings in zpolys:
+        sidx, t0, t1 = G.clip_segments_batch(P0, P1, rings)
+        per_poly_iv.append((sidx, t0, t1))
+        np.add.at(line_tot, sline[sidx], seg_len[sidx] * (t1 - t0))
+    totals = np.zeros(n_edges)
+    np.add.at(totals, np.asarray(line_row, np.int64), line_tot)
+    pieces_per: list = [None] * n_edges
+    if keep_geometry:
+        for cr in range(n_edges):
+            if totals[cr] <= 0:
+                continue
+            pieces = []
+            for sidx, t0, t1 in per_poly_iv:
+                m = srow[sidx] == cr
+                pieces.extend(_assemble_pieces(P0, P1, sline, sidx[m], t0[m], t1[m]))
+            pieces_per[cr] = pieces
+    return totals, pieces_per
+
+
 # -- the line × polygon operator ----------------------------------------------
 
 
@@ -271,7 +340,22 @@ def intersect_lines_with_zones(
     """Exact line∩polygon join with proportional length metrics.
 
     One output row per (edge, zone) pair with nonempty 1-D intersection;
-    metrics per the reference contract (intersect.py:406-437)."""
+    metrics per the reference contract (intersect.py:406-437).
+
+    ``zones`` may be a driver-side ``Zones`` (broadcast cell index — the
+    reference's ≤100-zone shape) or a DataFrame with a WKB geometry
+    column, in which case the distributed cell-join path runs instead
+    (same output, hash-verified; see operators.intersect_dist)."""
+    if isinstance(zones, DataFrame):
+        from osm_chordify_spark.operators.intersect_dist import (
+            intersect_lines_with_zones_dist,
+        )
+
+        return intersect_lines_with_zones_dist(
+            edges, zones, zone_label=zone_label,
+            include_void_zones=include_void_zones, index_res=index_res,
+            keep_geometry=keep_geometry,
+        )
     metric_names = line_metric_names(zone_label)
     schema, edge_renames, zone_renames, edge_attr_cols = _result_schema(
         edges.schema, zones, metric_names, zone_label, keep_geometry
@@ -360,52 +444,16 @@ def intersect_lines_with_zones(
             # replaces the per-edge Python clip loop (~0.8 ms/edge of
             # small-array overhead) with (segments × ring) NumPy passes
             for z, rows_list in pending.items():
-                p0s, p1s, rowidx, lineidx = [], [], [], []
-                line_row: list[int] = []  # global line ordinal → edge row
-                for cr, r in enumerate(rows_list):
-                    for ln in edge_lines[r]:
-                        if len(ln) < 2:
-                            continue
-                        k = len(ln) - 1
-                        p0s.append(ln[:-1])
-                        p1s.append(ln[1:])
-                        rowidx.append(np.full(k, cr, np.int64))
-                        lineidx.append(np.full(k, len(line_row), np.int64))
-                        line_row.append(cr)
-                if not p0s:
-                    continue
-                P0 = np.vstack(p0s)
-                P1 = np.vstack(p1s)
-                srow = np.concatenate(rowidx)
-                sline = np.concatenate(lineidx)  # global line ordinal per seg
-                seg_len = np.hypot(P1[:, 0] - P0[:, 0], P1[:, 1] - P0[:, 1])
-                # accumulate PER-LINE subtotals first (sequential adds in
-                # (seg, t) order within each line), then sum subtotals per
-                # edge in line order — the exact floating-point grouping of
-                # the per-edge path's ``total += ln_in`` loop, so results
-                # can't flip on a .005 rounding boundary between the paths
-                line_tot = np.zeros(len(line_row))
-                per_poly_iv = []
-                for rings in zgeoms[z]:
-                    sidx, t0, t1 = G.clip_segments_batch(P0, P1, rings)
-                    per_poly_iv.append((sidx, t0, t1))
-                    np.add.at(line_tot, sline[sidx], seg_len[sidx] * (t1 - t0))
-                totals = np.zeros(len(rows_list))
-                np.add.at(totals, np.asarray(line_row, np.int64), line_tot)
+                totals, pieces_per = _exact_clip_edges_vs_zone(
+                    [edge_lines[r] for r in rows_list], zgeoms[z], keep_geometry
+                )
                 for cr, r in enumerate(rows_list):
                     zone_len = round(float(totals[cr]), 2)
                     if zone_len <= 0:
                         continue  # boundary touch / no overlap
                     edge_len = edge_lens[r]
                     prop = round(zone_len / edge_len, 4) if edge_len > 0 else 0.0
-                    pieces = []
-                    if keep_geometry:
-                        for sidx, t0, t1 in per_poly_iv:
-                            m = srow[sidx] == cr
-                            pieces.extend(
-                                _assemble_pieces(P0, P1, sline, sidx[m], t0[m], t1[m])
-                            )
-                    emit(r, z, prop, edge_len, zone_len, pieces)
+                    emit(r, z, prop, edge_len, zone_len, pieces_per[cr] or [])
             yield pd.DataFrame(out_rows, columns=out_cols)
 
     result = edges.mapInPandas(compute, schema=schema)

@@ -1,0 +1,333 @@
+"""Distributed zone-intersection — the non-broadcastable-zones path.
+
+``operators.intersect`` holds zones driver-side and broadcasts a
+cell→candidate index, matching the reference's ≤100-zone assumption
+(reference src/osm_chordify/osm/intersect.py:440-444).  At lake scale a
+national census-tract or ISRM-grid table (10⁵–10⁶ polygons) won't
+broadcast — this module runs the SAME semantics (reference
+intersect.py:586-884) as a pure DataFrame program:
+
+1. zones explode to (cell, zone, full) rows at the effective index
+   resolution — the broadcast index's rows, as a table
+   (``zoneindex.zone_cover_cells`` is shared, so the candidate sets are
+   byte-identical by construction);
+2. edges explode to (edge, cell) cover rows;
+3. candidates come from a plain **cell equi-join** + groupBy(edge, zone)
+   — Catalyst plans it as a shuffled hash join AQE can skew-split;
+   the containment fast path is the aggregate test
+   ``every cover cell of the edge is a full cell of the zone``
+   (reference intersect.py:703-733);
+4. zone geometry and edge geometry re-attach to the candidate set by
+   key, and the exact clip kernel (``intersect._exact_clip_edges_vs_zone``
+   — the SAME function the broadcast path runs) executes per
+   (zone, salt-bucket) group via ``graph._grouped_map``; salting splits
+   hot zones (dense urban polygons) across tasks, which is semantically
+   free because every (edge, zone) pair is independent.
+
+Output is row-for-row and value-identical to
+``intersect.intersect_lines_with_zones`` (schema from the same
+``_assemble_schema``, rounding from the same kernels) — pytest asserts
+hash-parity between the two paths.
+
+Scale shape: no broadcast anywhere; the only driver-side values are two
+scalars (effective resolution, global edge bbox).  Shuffles: cell join,
+candidate groupBy, two re-attach joins, one grouped-map repartition —
+all on keys AQE can handle; the fact side is never collected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from osm_chordify_spark import cellindex as ci
+from osm_chordify_spark import geom as G
+from osm_chordify_spark.operators import zoneindex as ZI
+from osm_chordify_spark.operators.intersect import (
+    Zones,
+    _assemble_schema,
+    _exact_clip_edges_vs_zone,
+    line_metric_names,
+)
+
+
+def zones_to_df(spark, zones: Zones, geometry_col: str = "geometry") -> DataFrame:
+    """Driver-side Zones → a zone DataFrame (attrs + WKB geometry) for
+    the distributed path — the migration shim between the two APIs."""
+    pdf = zones.attrs.copy()
+    pdf[geometry_col] = [
+        G.wkb_polygon(polys[0]) if len(polys) == 1 else G.wkb_multipolygon(polys)
+        for polys in zones.geoms
+    ]
+    return spark.createDataFrame(pdf)
+
+
+def _effective_res(zones_df: DataFrame, geometry_col: str, index_res: int,
+                   world, max_cells_per_zone: int) -> int:
+    """Global effective resolution = min over zones of the per-zone
+    over-cover guard — the same global coarsening ZoneIndex.build does,
+    computed as one tiny agg instead of a driver loop."""
+
+    def per_batch(batches):
+        for pdf in batches:
+            r = index_res
+            for g in pdf[geometry_col]:
+                polys = G.geometry_polygons(bytes(g))
+                r = min(r, ZI.zone_min_res(polys, r, world, max_cells_per_zone))
+            yield pd.DataFrame({"r": [r]})
+
+    row = (
+        zones_df.select(geometry_col)
+        .mapInPandas(per_batch, schema="r int")
+        .agg(F.min("r").alias("r"))
+        .collect()[0]
+    )
+    return int(row.r) if row.r is not None else index_res
+
+
+def intersect_lines_with_zones_dist(
+    edges: DataFrame,
+    zones_df: DataFrame,
+    *,
+    zone_label: str | None = None,
+    include_void_zones: bool = False,
+    index_res: int = 9,
+    keep_geometry: bool = True,
+    geometry_col: str = "geometry",
+    world=ci.WORLD,
+    max_cells_per_zone: int = 4096,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Exact line∩polygon join with proportional length metrics over a
+    DataFrame zone table — same contract as
+    ``intersect.intersect_lines_with_zones`` (which see), for zone
+    tables too large to broadcast."""
+    spark = edges.sparkSession
+    metric_names = line_metric_names(zone_label)
+    zone_fields = [f for f in zones_df.schema.fields if f.name != geometry_col]
+    schema, edge_renames, zone_renames, edge_attr_cols = _assemble_schema(
+        edges.schema, zone_fields, metric_names, zone_label, keep_geometry
+    )
+    out_fields = list(schema.fields)
+    if include_void_zones:
+        out_fields = out_fields + [StructField("__zid", LongType(), True)]
+    kern_schema = StructType(out_fields)
+
+    eff_res = _effective_res(zones_df, geometry_col, index_res, world,
+                             max_cells_per_zone)
+
+    # ---- zone side: freeze ids, explode to (cell, __zid, full) ----------
+    # monotonically_increasing_id is only stable within one materialized
+    # plan; the eager localCheckpoint freezes the ids so every branch
+    # below sees the same mapping.  The zone table is the "large but not
+    # fact-sized" side — materializing it is the cheap half by contract.
+    zindexed = (
+        zones_df.select(
+            F.monotonically_increasing_id().alias("__zid"),
+            F.col(geometry_col).alias("__zgeom"),
+            *[F.col(zf.name).alias(zone_renames[zf.name]) for zf in zone_fields],
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def zone_cells(batches):
+        for pdf in batches:
+            zids, cells, fulls = [], [], []
+            for zid, g in zip(pdf["__zid"], pdf["__zgeom"]):
+                polys = G.geometry_polygons(bytes(g))
+                for c, full in ZI.zone_cover_cells(
+                    polys, eff_res, world, max_cells_per_zone
+                ).items():
+                    zids.append(zid)
+                    cells.append(c)
+                    fulls.append(full)
+            yield pd.DataFrame({"__zid": pd.Series(zids, dtype="int64"),
+                                "cell": pd.Series(cells, dtype="int64"),
+                                "full": pd.Series(fulls, dtype="bool")})
+
+    zcells = zindexed.select("__zid", "__zgeom").mapInPandas(
+        zone_cells, schema="__zid long, cell long, full boolean"
+    )
+
+    # ---- edge side: ids + (cell, n_cells, rounded length) cover rows ----
+    e = edges.withColumn("__eid", F.monotonically_increasing_id())
+    epay = e.select(
+        "__eid",
+        F.col("geometry").alias("__egeom"),
+        *[F.col(c).alias(edge_renames[c]) for c in edge_attr_cols],
+    )
+
+    def edge_cells(batches):
+        for pdf in batches:
+            eids, cells, ncs, lens = [], [], [], []
+            for eid, g in zip(pdf["__eid"], pdf["geometry"]):
+                lines = G.geometry_lines(bytes(g))
+                xs = np.concatenate([ln[:, 0] for ln in lines])
+                ys = np.concatenate([ln[:, 1] for ln in lines])
+                cover = ci.cover_bbox(
+                    xs.min(), ys.min(), xs.max(), ys.max(), eff_res, world,
+                    max_cells=1 << 20,
+                )
+                elen = round(sum(G.polyline_length(ln) for ln in lines), 2)
+                n = len(cover)
+                eids.extend([eid] * n)
+                cells.extend(cover.tolist())
+                ncs.extend([n] * n)
+                lens.extend([elen] * n)
+            yield pd.DataFrame({"__eid": pd.Series(eids, dtype="int64"),
+                                "cell": pd.Series(cells, dtype="int64"),
+                                "n_cells": pd.Series(ncs, dtype="int32"),
+                                "__elen": pd.Series(lens, dtype="float64")})
+
+    ecells = e.select("__eid", "geometry").mapInPandas(
+        edge_cells, schema="__eid long, cell long, n_cells int, __elen double"
+    )
+
+    # ---- candidate pairs: cell equi-join + containment aggregate --------
+    cand = (
+        ecells.join(zcells, "cell")
+        .groupBy("__eid", "__zid")
+        .agg(
+            F.count(F.lit(1)).alias("__hits"),
+            F.min(F.col("full").cast("int")).alias("__allfull"),
+            F.first("n_cells").alias("__ncells"),
+            F.first("__elen").alias("__elen"),
+        )
+        .withColumn(
+            "__contained",
+            (F.col("__hits") == F.col("__ncells")) & (F.col("__allfull") == 1),
+        )
+        .select("__eid", "__zid", "__contained", "__elen")
+    )
+
+    # ---- re-attach payloads, run the exact kernel per salted zone group -
+    work = (
+        cand.join(zindexed, "__zid")
+        .join(epay, "__eid")
+        .withColumn(
+            "__gk",
+            F.concat_ws(
+                "#",
+                F.col("__zid").cast("string"),
+                F.pmod(F.xxhash64("__eid"), F.lit(salt_buckets)).cast("string"),
+            ),
+        )
+    )
+
+    mp, me, mz = (metric_names["proportion"], metric_names["edge_length"],
+                  metric_names["zone_length"])
+    out_names = [f.name for f in kern_schema.fields]
+    attr_names = [edge_renames[c] for c in edge_attr_cols] + [
+        zone_renames[zf.name] for zf in zone_fields
+    ]
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        zpolys = G.geometry_polygons(bytes(pdf["__zgeom"].iloc[0]))
+        lines = [G.geometry_lines(bytes(g)) for g in pdf["__egeom"]]
+        contained = pdf["__contained"].to_numpy()
+        elen = pdf["__elen"].to_numpy()
+        pend = np.nonzero(~contained)[0]
+        totals, pieces_per = _exact_clip_edges_vs_zone(
+            [lines[i] for i in pend], zpolys, keep_geometry
+        )
+        pend_pos = {int(i): k for k, i in enumerate(pend)}
+        keep, mpv, mev, mzv, geov = [], [], [], [], []
+        for i in range(len(pdf)):
+            edge_len = float(elen[i])
+            if contained[i]:
+                zone_len = edge_len
+                prop = 1.0 if edge_len > 0 else 0.0
+                pieces = lines[i]
+            else:
+                zone_len = round(float(totals[pend_pos[i]]), 2)
+                if zone_len <= 0:
+                    continue  # boundary touch / no overlap
+                prop = round(zone_len / edge_len, 4) if edge_len > 0 else 0.0
+                pieces = pieces_per[pend_pos[i]] or []
+            keep.append(i)
+            mpv.append(prop)
+            mev.append(edge_len)
+            mzv.append(zone_len)
+            if keep_geometry:
+                geov.append(
+                    G.wkb_linestring(pieces[0])
+                    if len(pieces) == 1
+                    else G.wkb_multilinestring(pieces)
+                )
+        base = pdf.iloc[keep].reset_index(drop=True)
+        out = {mp: mpv, me: mev, mz: mzv}
+        if keep_geometry:
+            out["geometry"] = geov
+        for c in attr_names:
+            out[c] = base[c]
+        if include_void_zones:
+            out["__zid"] = base["__zid"]
+        return pd.DataFrame(out, columns=out_names)
+
+    from osm_chordify_spark.operators.graph import _grouped_map
+
+    result = _grouped_map(work, "__gk", kern, kern_schema)
+
+    if include_void_zones:
+        result = _append_void_rows_dist(
+            result, e, zindexed, zone_fields, zone_renames, kern_schema
+        ).drop("__zid")
+    return result
+
+
+def _append_void_rows_dist(result, e, zindexed, zone_fields, zone_renames,
+                           kern_schema):
+    """Void rows, all-DataFrame: bbox-kept zones minus matched zones via
+    left-anti join on the frozen zone id — no collects of zone attrs, no
+    attr-tuple conflation (reference intersect.py:347-382 + :847-859).
+    ``result`` is persisted because its plan is consumed twice (matched
+    probe + union)."""
+    from pyspark import StorageLevel
+
+    bb = (
+        e.select("geometry")
+        .mapInPandas(_edge_bbox_batches, schema="x0 double, y0 double, x1 double, y1 double")
+        .agg(F.min("x0").alias("x0"), F.min("y0").alias("y0"),
+             F.max("x1").alias("x1"), F.max("y1").alias("y1"))
+        .collect()[0]
+    )
+
+    def zone_kept(batches):
+        for pdf in batches:
+            keep = []
+            for zid, g in zip(pdf["__zid"], pdf["__zgeom"]):
+                for rings in G.geometry_polygons(bytes(g)):
+                    zx0, zy0, zx1, zy1 = G.polygon_bbox(rings)
+                    if zx0 <= bb.x1 and zx1 >= bb.x0 and zy0 <= bb.y1 and zy1 >= bb.y0:
+                        keep.append(zid)
+                        break
+            yield pd.DataFrame({"__zid": pd.Series(keep, dtype="int64")})
+
+    kept = zindexed.select("__zid", "__zgeom").mapInPandas(
+        zone_kept, schema="__zid long"
+    ).join(zindexed.drop("__zgeom"), "__zid")
+
+    result = result.persist(StorageLevel.MEMORY_AND_DISK)
+    matched = result.select("__zid").distinct()
+    zcols = {zone_renames[zf.name] for zf in zone_fields}
+    void = kept.join(matched, "__zid", "left_anti").select(
+        *[
+            F.col(f.name) if f.name in zcols or f.name == "__zid"
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in kern_schema.fields
+        ]
+    )
+    return result.unionByName(void)
+
+
+def _edge_bbox_batches(batches):
+    for pdf in batches:
+        arr = np.array(
+            [G.bbox(np.vstack(G.geometry_lines(bytes(g)))) for g in pdf["geometry"]]
+        )
+        yield pd.DataFrame(
+            {"x0": arr[:, 0], "y0": arr[:, 1], "x1": arr[:, 2], "y1": arr[:, 3]}
+        )

@@ -28,6 +28,62 @@ from osm_chordify_spark import cellindex as ci
 from osm_chordify_spark import geom as G
 
 
+def parse_zone_polys(geom_):
+    """Coerce WKB bytes / ring-lists / bare rings → [rings, ...] polygons."""
+    if isinstance(geom_, (bytes, bytearray)):
+        return G.geometry_polygons(bytes(geom_))
+    if isinstance(geom_, list) and geom_ and isinstance(geom_[0], list):
+        return geom_  # already a multipolygon: [[ring, ...], ...]
+    if isinstance(geom_, list) and geom_ and getattr(geom_[0], "ndim", 0) == 2:
+        return [geom_]  # one polygon as a rings list
+    return [[np.asarray(geom_, dtype=np.float64)]]  # bare ring
+
+
+def zone_min_res(polys, res: int, world=ci.WORLD, max_cells_per_zone: int = 4096) -> int:
+    """Coarsest resolution any of this zone's polygon bboxes needs to keep
+    its cover within ``max_cells_per_zone`` (the over-cover guard) —
+    shared by the broadcast index and the distributed cell-join path so
+    both compute the IDENTICAL effective resolution."""
+    eff = res
+    for rings in polys:
+        x0, y0, x1, y1 = G.polygon_bbox(rings)
+        r, _ = ci.pick_cover_res(x0, y0, x1, y1, eff, world, max_cells_per_zone)
+        eff = min(eff, r)
+    return eff
+
+
+def zone_cover_cells(polys, res: int, world=ci.WORLD,
+                     max_cells_per_zone: int = 4096) -> dict:
+    """cell → full flag for ONE zone's polygons at ``res``: bbox cover,
+    drop cells whose rect provably misses the polygon, mark cells whose
+    rect is entirely inside (the containment fast path).  The single
+    source of truth for candidate-cell classification — ZoneIndex.build
+    and the distributed path both call this, so their candidate sets are
+    byte-identical by construction."""
+    seen: dict = {}
+    for rings in polys:
+        x0, y0, x1, y1 = G.polygon_bbox(rings)
+        cover = ci.cover_bbox(x0, y0, x1, y1, res, world, max_cells=max_cells_per_zone)
+        bx0, by0, bx1, by1 = ci.cell_bounds(cover, world)
+        for k in range(len(cover)):
+            full = G.rect_fully_inside(bx0[k], by0[k], bx1[k], by1[k], rings)
+            if not full:
+                corners_in = G.point_in_polygon(
+                    np.array([bx0[k], bx1[k], bx1[k], bx0[k]]),
+                    np.array([by0[k], by0[k], by1[k], by1[k]]),
+                    rings,
+                ).any()
+                crossing = any(
+                    G.segments_intersect_rect(rg, bx0[k], by0[k], bx1[k], by1[k])
+                    for rg in rings
+                )
+                if not (corners_in or crossing):
+                    continue
+            c = int(cover[k])
+            seen[c] = bool(seen.get(c, False) or full)
+    return seen
+
+
 @dataclass
 class ZoneIndex:
     """Flat searchable cell→candidates map (NumPy, pickle-friendly)."""
@@ -49,58 +105,18 @@ class ZoneIndex:
 
         The effective resolution is coarsened until every zone's bbox
         cover fits ``max_cells_per_zone`` (the over-cover guard)."""
-        parsed = []
-        for zid, geom_ in zones:
-            if isinstance(geom_, (bytes, bytearray)):
-                polys = G.geometry_polygons(bytes(geom_))  # wkb → [rings, ...]
-            elif isinstance(geom_, list) and geom_ and isinstance(geom_[0], list):
-                polys = geom_  # already a multipolygon: [[ring, ...], ...]
-            elif isinstance(geom_, list) and geom_ and getattr(geom_[0], "ndim", 0) == 2:
-                polys = [geom_]  # one polygon as a rings list
-            else:
-                polys = [[np.asarray(geom_, dtype=np.float64)]]  # bare ring
-            parsed.append((zid, polys))
+        parsed = [(zid, parse_zone_polys(geom_)) for zid, geom_ in zones]
 
         eff_res = res
         for _zid, polys in parsed:
-            for rings in polys:
-                x0, y0, x1, y1 = G.polygon_bbox(rings)
-                r, _ = ci.pick_cover_res(
-                    x0, y0, x1, y1, eff_res, world, max_cells_per_zone
-                )
-                eff_res = min(eff_res, r)
+            eff_res = min(eff_res, zone_min_res(polys, eff_res, world, max_cells_per_zone))
 
         cell_list, zone_list, full_list = [], [], []
         zone_ids, zone_rings = [], []
         for ordinal, (zid, polys) in enumerate(parsed):
             zone_ids.append(zid)
             zone_rings.append(polys)
-            seen = {}
-            for rings in polys:
-                x0, y0, x1, y1 = G.polygon_bbox(rings)
-                cover = ci.cover_bbox(
-                    x0, y0, x1, y1, eff_res, world, max_cells=max_cells_per_zone
-                )
-                bx0, by0, bx1, by1 = ci.cell_bounds(cover, world)
-                for k in range(len(cover)):
-                    # drop cells whose rect misses the polygon entirely
-                    full = G.rect_fully_inside(bx0[k], by0[k], bx1[k], by1[k], rings)
-                    if not full:
-                        # keep if the rect plausibly intersects: any corner
-                        # inside, any ring vertex inside, or any edge crossing
-                        corners_in = G.point_in_polygon(
-                            np.array([bx0[k], bx1[k], bx1[k], bx0[k]]),
-                            np.array([by0[k], by0[k], by1[k], by1[k]]),
-                            rings,
-                        ).any()
-                        crossing = any(
-                            G.segments_intersect_rect(rg, bx0[k], by0[k], bx1[k], by1[k])
-                            for rg in rings
-                        )
-                        if not (corners_in or crossing):
-                            continue
-                    c = int(cover[k])
-                    seen[c] = bool(seen.get(c, False) or full)
+            seen = zone_cover_cells(polys, eff_res, world, max_cells_per_zone)
             for c, full in seen.items():
                 cell_list.append(c)
                 zone_list.append(ordinal)

@@ -1,0 +1,137 @@
+"""Distributed zone-intersection path: hash-parity with the broadcast
+path, containment fast path, void rows — the non-broadcastable-zones
+shape (SURVEY §2.3 J1 distributed variant; reference semantics
+src/osm_chordify/osm/intersect.py:586-884)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_chordify_spark import geom as G
+from osm_chordify_spark.operators import intersect as I
+from osm_chordify_spark.operators import intersect_dist as ID
+
+
+def _grid_zones(n=6):
+    return [
+        {
+            "zone_id": f"G{i}_{j}",
+            "geometry": [np.array(
+                [[float(i), float(j)], [i + 1.0, float(j)],
+                 [i + 1.0, j + 1.0], [float(i), j + 1.0]]
+            )],
+        }
+        for i in range(n)
+        for j in range(n)
+    ]
+
+
+def _edges(spark, n=300):
+    base = spark.range(0, n, 1, 4).select(
+        F.col("id").alias("osm_id"),
+        F.expr("((id * 7) % 40) / 1e1").alias("xs"),
+        F.expr("((id * 13) % 55) / 1e1 + 25e-2").alias("y"),
+    )
+
+    @F.pandas_udf("binary")
+    def mk(xs: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [G.wkb_linestring([[x, yy], [x + 2.5, yy]]) for x, yy in zip(xs, y)]
+        )
+
+    return base.select(
+        "osm_id", F.lit(2.5).alias("edge_length"), mk("xs", "y").alias("geometry")
+    )
+
+
+METRIC_COLS = [
+    "edge_osm_id", "zone_zone_id", "zone_link_length_m",
+    "edge_link_length_m", "zone_edge_proportion",
+]
+
+
+def test_dist_path_hash_parity_with_broadcast(spark):
+    """Both paths over 36 grid zones: identical rows, identical values,
+    byte-identical piece geometry (they share the clip kernel and the
+    cell classification by construction — this pins it)."""
+    edges = _edges(spark)
+    zones = I.Zones.from_records(_grid_zones())
+    zdf = ID.zones_to_df(spark, zones)
+    a = (
+        I.intersect_lines_with_zones(edges, zones)
+        .select(*METRIC_COLS, "geometry").toPandas()
+        .sort_values(METRIC_COLS).reset_index(drop=True)
+    )
+    b = (
+        I.intersect_lines_with_zones(edges, zdf)
+        .select(*METRIC_COLS, "geometry").toPandas()
+        .sort_values(METRIC_COLS).reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a[METRIC_COLS], b[METRIC_COLS])
+    assert all(bytes(x) == bytes(y) for x, y in zip(a["geometry"], b["geometry"]))
+
+
+def test_dist_contained_fast_path_and_labels(spark):
+    """An edge fully inside one big zone gets proportion exactly 1.0
+    through the aggregate containment test; zone_label prefixing works."""
+    line = G.wkb_linestring([[2.0, 2.0], [3.0, 2.0]])
+    edges = spark.createDataFrame(
+        pd.DataFrame({"osm_id": [7], "geometry": [line]})
+    )
+    big = [{"zone_id": "BIG",
+            "geometry": [np.array([[0.0, 0.0], [9.0, 0.0], [9.0, 9.0], [0.0, 9.0]])]}]
+    zdf = ID.zones_to_df(spark, I.Zones.from_records(big))
+    out = I.intersect_lines_with_zones(edges, zdf, zone_label="TAZ").toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["taz_zone_edge_proportion"] == 1.0
+    assert out.iloc[0]["taz_zone_id"] == "BIG"
+
+
+def test_dist_void_rows_by_zone_id_not_attrs(spark):
+    """include_void_zones on the distributed path: bbox-kept-but-unmatched
+    zones yield NULL-metric rows, keyed per zone id — identical-attr
+    twins don't conflate (same contract as the broadcast path)."""
+    bent = G.wkb_linestring([[0.0, 0.0], [10.0, 0.0], [10.0, 2.0]])
+    edges = spark.createDataFrame(
+        pd.DataFrame({"osm_id": [2], "geometry": [bent]})
+    )
+    matched_twin = {"zone_id": "dup",
+                    "geometry": [np.array([[0.0, -1.0], [5.0, -1.0], [5.0, 1.0], [0.0, 1.0]])]}
+    void_twin = {"zone_id": "dup",
+                 "geometry": [np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 1.9], [1.0, 1.9]])]}
+    far = {"zone_id": "far",
+           "geometry": [np.array([[50.0, 50.0], [60.0, 50.0], [60.0, 60.0], [50.0, 60.0]])]}
+    zdf = ID.zones_to_df(spark, I.Zones.from_records([matched_twin, void_twin, far]))
+    out = I.intersect_lines_with_zones(
+        edges, zdf, include_void_zones=True
+    ).toPandas()
+    assert "__zid" not in out.columns
+    assert "far" not in set(out["zone_zone_id"])
+    dup = out[out["zone_zone_id"] == "dup"]
+    assert len(dup) == 2
+    assert dup["zone_edge_proportion"].notna().sum() == 1
+    assert dup["zone_edge_proportion"].isna().sum() == 1
+
+
+def test_dist_multipolygon_zone_and_boundary_touch_drop(spark):
+    """A multipolygon zone aggregates both parts' overlap into one row;
+    an edge that only touches the boundary produces no row."""
+    hline = G.wkb_linestring([[0.5, 0.5], [7.5, 0.5]])   # crosses both parts
+    touch = G.wkb_linestring([[0.0, 1.0], [1.0, 1.0]])   # runs along the top edge
+    edges = spark.createDataFrame(
+        pd.DataFrame({"osm_id": [1, 2], "geometry": [hline, touch]})
+    )
+    two_part = [{
+        "zone_id": "MP",
+        "geometry": G.wkb_multipolygon([
+            [[[0.0, 0.0], [2.0, 0.0], [2.0, 1.0], [0.0, 1.0]]],
+            [[[6.0, 0.0], [8.0, 0.0], [8.0, 1.0], [6.0, 1.0]]],
+        ]),
+    }]
+    zdf = spark.createDataFrame(pd.DataFrame(two_part))
+    out = I.intersect_lines_with_zones(edges, zdf).toPandas()
+    assert set(out["edge_osm_id"]) == {1}
+    r = out[out["edge_osm_id"] == 1].iloc[0]
+    assert r["zone_link_length_m"] == pytest.approx(3.0)  # 1.5 in each part
