@@ -110,9 +110,11 @@ def _min_label_prop(
             F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
                 "label"
             ),
-        )
+        ).localCheckpoint(eager=False)
         for _ in range(doublings_per_round):
-            # label ← min(label, label[label])
+            # label ← min(label, label[label]); the lazy per-step
+            # checkpoint collapses the otherwise-2^k self-join plan tree
+            # to a linear chain (see _chain_components_rank for the why)
             lk = cur.select(F.col("id").alias("lid"), F.col("label").alias("l2"))
             cur = cur.join(lk, cur.label == lk.lid, "left").select(
                 "id",
@@ -120,7 +122,7 @@ def _min_label_prop(
                 F.least(F.col("label"), F.coalesce(F.col("l2"), F.col("label"))).alias(
                     "label"
                 ),
-            )
+            ).localCheckpoint(eager=False)
         cur = cur.persist()
         changed = cur.filter(F.col("label") != F.col("old")).count()
         ckpt = cur.localCheckpoint(eager=True)
@@ -269,28 +271,42 @@ def strongly_connected_components(
     return out
 
 
-def _functional_chain_components(
+def _chain_components_rank(
     pairs: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    steps_per_round: int = 2,
+    steps_per_round: int = 3,
 ) -> DataFrame:
-    """Min-label components for FUNCTIONAL pair graphs — in-degree ≤ 1
-    AND out-degree ≤ 1, i.e. disjoint chains and rings.  Chordify's
-    consecutive-edge pairs are exactly this shape (each edge has at most
-    one non-U-turn successor and predecessor through a collapsible
-    node), so the generic CC's per-round neighbor-min AGGREGATION is
-    unnecessary: pure pointer doubling on the unique predecessor AND
-    successor pointers — mp[v] accumulates the min id over an
-    exponentially growing ancestor window, ms[v] over descendants, and
-    on a simple path every other member is one or the other (on a ring
-    either window alone wraps the whole cycle), so
-    component = least(mp, ms) = the undirected component minimum.
-    ⌈log₂L⌉ steps, two self-joins per step, no aggregation shuffle
-    (rings never stabilize the pointers, but the mins do, and
-    convergence is checked on the mins only).  Identical output to
-    connected_components on these graphs at a fraction of the cost.
+    """Components AND list ranks for FUNCTIONAL pair graphs — in-degree
+    ≤ 1 and out-degree ≤ 1, i.e. disjoint chains and rings (chordify's
+    consecutive-edge pairs; the fan-out guard in chordify enforces the
+    precondition).  Returns (id, component, seq) where ``seq`` is the
+    0-based distance from the chain head (NULL on rings, which have no
+    head — callers order those the slow way).
 
+    One pointer-doubling self-join per step on the unique PREDECESSOR
+    pointer only (half the join count of a pred+succ formulation), with
+    three accumulators riding the same join:
+
+    * pp — jumps to pp[pp] (window doubles);
+    * dp — Wyllie list ranking: dp += dp[pp] ⇒ at convergence dp =
+      distance from head, which IS chordify's path order — the separate
+      per-chain Python ordering pass disappears for chain components;
+    * mp — min id over the ancestor window (rings: once the window
+      wraps the cycle, mp = the ring minimum = a canonical label);
+    * rooted — whether pp currently points at a head (a vertex with no
+      predecessor); propagates with the window.
+
+    Labels: chains use component = pp (the head — constant across the
+    chain once everyone converges); rings use component = mp.  The two
+    never mix inside one component (a component with a head is a chain).
+
+    Exits: (a) EVERY vertex rooted — pp is then at a head and mp/dp are
+    telescoped over the whole path, so the state is provably final and
+    no confirmation round is needed (label propagation can't certify
+    this; list ranking can); (b) step budget ⌈log₂ n⌉ + 1 — windows of
+    size ≥ n wrap any ring (rings never root, so mixed inputs run to
+    the budget, which is also the sound exit for them).
     Materialization per round follows the persist → count →
     localCheckpoint → unpersist discipline of _min_label_prop (see its
     docstring for the stats-carry blowup this avoids)."""
@@ -300,77 +316,67 @@ def _functional_chain_components(
         .distinct()
     )
     pred = pairs.select(F.col(dst).alias("id"), F.col(src).alias("__p"))
-    succ = pairs.select(F.col(src).alias("id"), F.col(dst).alias("__s"))
-    # init stays LAZY: it feeds round 1's join chain directly (one
-    # round of lazy depth is fine — only the round-over-round compounding
-    # needs the materialization discipline); n comes from a cheap count
-    # of the vertex set
+    # init stays LAZY: it feeds round 1's join chain directly (one round
+    # of lazy depth is fine — only round-over-round compounding needs
+    # the materialization discipline); n comes from a cheap count
     state = (
         verts.join(pred, "id", "left")
-        .join(succ, "id", "left")
         .select(
             "id",
             F.coalesce(F.col("__p"), F.col("id")).alias("pp"),
             F.least(F.col("id"), F.coalesce(F.col("__p"), F.col("id"))).alias("mp"),
-            F.coalesce(F.col("__s"), F.col("id")).alias("ps"),
-            F.least(F.col("id"), F.coalesce(F.col("__s"), F.col("id"))).alias("ms"),
+            F.when(F.col("__p").isNull(), F.lit(0)).otherwise(F.lit(1))
+            .cast("long").alias("dp"),
+            F.col("__p").isNull().alias("rooted"),
         )
         .persist()
     )
     n = state.count()
-    # Stopping rule must be SOUND: unlike label propagation, windowed
-    # list-ranking is not a fixpoint iteration — a round where no min
-    # changed can still be followed by improvements once the pointer
-    # windows grow past an unlucky id arrangement.  Two sound exits:
-    # (a) EVERYTHING frozen (pointers included) — on chains the pointers
-    # hit the chain heads/tails and stop, at which point each window
-    # covers the whole chain; (b) the step budget reaches ⌈log₂ n⌉ —
-    # windows of size ≥ n cover any ring.
     import math
 
     needed_steps = max(1, math.ceil(math.log2(max(n, 2)))) + 1
     steps_done = 0
     init = state
     while steps_done < needed_steps:
-        cur = state.withColumn(
-            "old", F.struct(F.col("pp"), F.col("mp"), F.col("ps"), F.col("ms"))
-        )
+        cur = state
         for _ in range(steps_per_round):
             lkp = cur.select(
-                F.col("id").alias("lidp"), F.col("pp").alias("pp2"),
-                F.col("mp").alias("mp2"),
+                F.col("id").alias("lid"), F.col("pp").alias("pp2"),
+                F.col("mp").alias("mp2"), F.col("dp").alias("dp2"),
+                F.col("rooted").alias("rt2"),
             )
-            cur = cur.join(lkp, cur.pp == lkp.lidp, "left").select(
-                "id", "old", "ps", "ms",
+            cur = cur.join(lkp, cur.pp == lkp.lid, "left").select(
+                "id",
                 F.coalesce(F.col("pp2"), F.col("pp")).alias("pp"),
                 F.least(F.col("mp"), F.coalesce(F.col("mp2"), F.col("mp"))).alias("mp"),
+                (F.col("dp") + F.coalesce(F.col("dp2"), F.lit(0))).alias("dp"),
+                F.coalesce(F.col("rt2"), F.col("rooted")).alias("rooted"),
             )
-            lks = cur.select(
-                F.col("id").alias("lids"), F.col("ps").alias("ps2"),
-                F.col("ms").alias("ms2"),
-            )
-            cur = cur.join(lks, cur.ps == lks.lids, "left").select(
-                "id", "old", "pp", "mp",
-                F.coalesce(F.col("ps2"), F.col("ps")).alias("ps"),
-                F.least(F.col("ms"), F.coalesce(F.col("ms2"), F.col("ms"))).alias("ms"),
-            )
+            # a pointer-doubling step references `cur` TWICE (probe side +
+            # lookup side), so an unbroken lazy chain of k steps is a plan
+            # tree with 2^k copies of the base state — measured 3× slower
+            # at k=4 from exchange setup alone.  A LAZY localCheckpoint per
+            # step collapses the tree to a linear chain: the step RDD
+            # materializes once when the round's job runs and both
+            # branches of the next step read its blocks.  (Stats carried
+            # by these intra-round checkpoints grow only 2× per step and
+            # are reset by the round-end persist→count→eager-checkpoint.)
+            cur = cur.localCheckpoint(eager=False)
         steps_done += steps_per_round
         cur = cur.persist()
-        frozen = (
-            cur.filter(
-                F.struct(F.col("pp"), F.col("mp"), F.col("ps"), F.col("ms"))
-                != F.col("old")
-            ).count()
-            == 0
-        )
+        # the materializing count doubles as the exit probe: zero
+        # unrooted rows certifies the final state outright
+        unrooted = cur.filter(~F.col("rooted")).count()
         ck = cur.localCheckpoint(eager=True)
         cur.unpersist()
-        state = ck.drop("old")
-        if frozen:
+        state = ck
+        if unrooted == 0:
             break
     init.unpersist()
     return state.select(
-        "id", F.least(F.col("mp"), F.col("ms")).alias("component")
+        "id",
+        F.when(F.col("rooted"), F.col("pp")).otherwise(F.col("mp")).alias("component"),
+        F.when(F.col("rooted"), F.col("dp")).otherwise(F.lit(None)).alias("seq"),
     )
 
 
@@ -485,9 +491,10 @@ def chordify(
     and concatenated geometry.
 
     Plan shape: degree/compat aggs (2 shuffles) → edge-pair self-join →
-    connected components over pairs (log rounds) → applyInPandas path
-    ordering per chain → groupBy(chain).agg(A1–A9 exprs) → union with
-    untouched edges.  No driver-side iteration over rows ever."""
+    chain components + Wyllie list ranks over pairs (log rounds; seq
+    comes free with the components — only ring chains fall back to the
+    per-chain Python ordering) → groupBy(chain).agg(A1–A9 exprs) →
+    union with untouched edges.  No driver-side iteration over rows."""
     e = _edge_ids(edges)
     inter = interstitial_nodes(edges, list(edge_attrs_differ)).withColumn(
         "__collapsible", F.lit(True)
@@ -520,12 +527,18 @@ def chordify(
         .filter(F.col("count") > 1)
     )
     if fan.isEmpty():
-        comp = _functional_chain_components(pairs)  # (id=__eid, component)
+        # (id=__eid, component, seq) — seq is the list rank for chain
+        # components, NULL for rings (ordered the slow way below)
+        comp = _chain_components_rank(pairs)
     else:
-        comp = connected_components(pairs)
+        comp = connected_components(pairs).withColumn(
+            "seq", F.lit(None).cast("long")
+        )
     pairs.unpersist()
     chained = e.join(comp, e.__eid == comp.id, "left").drop("id")
-    untouched = chained.filter(F.col("component").isNull()).drop("component", "__eid")
+    untouched = chained.filter(F.col("component").isNull()).drop(
+        "component", "__eid", "seq"
+    )
 
     chain_edges = chained.filter(F.col("component").isNotNull())
     if chain_edges.isEmpty():
@@ -537,12 +550,14 @@ def chordify(
             )
         return out
 
-    # --- phase A: order each chain's edges along the path ------------------
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    # --- phase A: path order per chain --------------------------------------
+    # chain components got seq free from the list ranking; only rings
+    # (and the generic-CC fallback) need the per-chain Python ordering
+    from pyspark.sql.types import LongType, StructField, StructType
 
     base_fields = chain_edges.select("component", "__eid").schema.fields
     order_schema = StructType(
-        list(base_fields) + [StructField("seq", IntegerType(), True)]
+        list(base_fields) + [StructField("seq", LongType(), True)]
     )
 
     def order_chain(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -579,11 +594,13 @@ def chordify(
             seq += 1
         return pd.DataFrame(out, columns=["component", "__eid", "seq"])
 
+    with_seq = chain_edges.filter(F.col("seq").isNotNull())
+    no_seq = chain_edges.filter(F.col("seq").isNull()).drop("seq")
     ordered = _grouped_map(
-        chain_edges.select("component", "__eid", "u", "v"),
+        no_seq.select("component", "__eid", "u", "v"),
         "component", order_chain, order_schema,
     )
-    chain_full = chain_edges.join(ordered, ["component", "__eid"])
+    chain_full = with_seq.unionByName(no_seq.join(ordered, ["component", "__eid"]))
 
     # --- phase B: aggregate each chain into one chord edge -----------------
     attr_cols = [

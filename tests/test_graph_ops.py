@@ -271,3 +271,22 @@ def test_chordify_parallel_multigraph_edges_no_double_count(spark):
     r = out.iloc[0]
     assert r["length"] == 4.0  # each edge counted exactly once
     assert sorted(r["merged_osmids"]) == [101, 102, 103, 104]
+
+
+def test_chordify_ring_chain(spark):
+    """A directed 4-cycle where every node is interstitial: the pair
+    graph is a ring (no head, so no free list rank) — the ring fallback
+    must still produce ONE chord with all edges counted once
+    (remove_rings=False semantics)."""
+    rows = [
+        (1, 2, 0, 101, 1.0, "residential", "yes"),
+        (2, 3, 0, 102, 1.0, "residential", "yes"),
+        (3, 4, 0, 103, 1.0, "residential", "yes"),
+        (4, 1, 0, 104, 1.0, "residential", "yes"),
+    ]
+    out = GR.chordify(_edges(spark, rows), edge_attrs_differ=["highway"]).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["length"] == 4.0
+    assert sorted(r["merged_osmids"]) == [101, 102, 103, 104]
+    assert r["u"] == r["v"]  # ring collapses to a self-loop chord
