@@ -237,24 +237,34 @@ def build_area_mask_from_counties(
     counties, *, use_convex_hull: bool = True, buffer_m: float = 0.0
 ):
     """Fused area mask from county polygons (reference
-    utils/geo.py:153-201): union → convex hull → exact outward buffer.
-    Both mask shapes (hull, bbox) are convex, so the miter edge-line
-    offset IS the true buffer polygon (no vertex-radial approximation).
-    Driver-side by design — the mask is a single small polygon
-    broadcast to the job."""
+    utils/geo.py:153-201): union → optional convex hull → outward
+    buffer.  Returns a MULTIPOLYGON as ``[[outer, holes...], ...]``.
+
+    use_convex_hull=True mirrors the reference's include_water mask:
+    one convex ring, buffered with the exact miter edge-line offset
+    (for convex rings the miter IS the true buffer polygon).
+    use_convex_hull=False is the land-only mask: the TRUE boolean union
+    of the county polygons (geom.union_polygons — concave, holes and
+    shared county borders included), buffered via the Minkowski
+    decomposition (geom.buffer_polygon).  Driver-side by design — the
+    mask is a small geometry broadcast to the job."""
     zones = _as_zones(counties)
-    pts = np.vstack(
-        [G.ring_close(rings[0]) for polys in zones.geoms for rings in polys]
-    )
     if use_convex_hull:
+        pts = np.vstack(
+            [G.ring_close(rings[0]) for polys in zones.geoms for rings in polys]
+        )
         ring = G.convex_hull(pts)
-    else:
-        x0, y0 = pts.min(axis=0)
-        x1, y1 = pts.max(axis=0)
-        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+        if buffer_m:
+            ring = G.offset_ring_convex(ring, buffer_m)
+        return [[ring]]
+    merged = G.union_polygons([rings for polys in zones.geoms for rings in polys])
     if buffer_m:
-        ring = G.offset_ring_convex(ring, buffer_m)
-    return [ring]
+        buffered = []
+        for polys in merged:
+            buffered.extend(G.buffer_polygon(polys, buffer_m))
+        # buffering can make previously-disjoint counties touch: union once more
+        merged = G.union_polygons([p for p in buffered])
+    return merged
 
 
 def create_osm_highway_filter(highway_types) -> str:

@@ -718,3 +718,213 @@ def geometry_polygons(buf: bytes):
     if kind == "multipolygon":
         return data
     raise ValueError(f"expected polygon geometry, got {kind}")
+
+
+# ---------------------------------------------------------------------------
+# polygon boolean union — arrangement-based (concave, holes, shared edges)
+
+
+def _union_scale(polys_list) -> float:
+    pts = np.vstack([ring_close(p[0]) for p in polys_list])
+    x0, y0, x1, y1 = bbox(pts)
+    return max(np.hypot(x1 - x0, y1 - y0), 1.0)
+
+
+def union_polygons(polys_list, probe_eps: float | None = None):
+    """Boolean union of N polygons-with-holes → list of polygons-with-
+    holes (the reference's ``union_all`` step, utils/geo.py:153-201, as
+    a from-scratch arrangement sweep — no GEOS).
+
+    Method (the same split→classify philosophy as the clip kernels):
+    every boundary segment of every polygon is split at its crossings
+    with every OTHER polygon's boundary; each sub-segment is classified
+    by probing the union membership of two points offset ±ε along its
+    normal — exactly one probe inside ⇒ the sub-segment lies on the
+    union boundary (both inside ⇒ interior, e.g. a shared edge between
+    adjacent counties; both outside ⇒ degenerate sliver).  Kept
+    sub-segments are oriented interior-on-the-LEFT, deduped (coincident
+    boundaries collapse to one copy), and stitched into closed rings;
+    CCW rings are outer boundaries, CW rings are holes, holes are
+    grouped under the outer that contains them.
+
+    Limitations (documented, not silent): classification probes sit
+    ε ≈ 1e-7·bbox-diagonal off the boundary, so features thinner than
+    that are unioned away; vertices where four or more boundary pieces
+    meet pick an arbitrary continuation (counties meeting at a corner
+    still stitch correctly because each ring's pieces remain paired)."""
+    polys_list = [p for p in polys_list if p and len(p[0]) >= 3]
+    if not polys_list:
+        return []
+    if len(polys_list) == 1:
+        return [polys_list[0]]
+    scale = _union_scale(polys_list)
+    pe = (probe_eps or 1e-7) * scale
+    snap = 1e-9 * scale
+
+    # -- collect split sub-segments with owner tags ------------------------
+    # per-polygon bboxes: a segment only needs splitting against
+    # polygons whose bbox it can reach (keeps the sweep near-linear for
+    # mostly-disjoint county sets instead of all-pairs)
+    pboxes = [polygon_bbox(p) for p in polys_list]
+    subs_a, subs_b, owners = [], [], []
+    for k, polys in enumerate(polys_list):
+        for ring in polys:
+            r = ring_close(ring)
+            for i in range(len(r) - 1):
+                ax, ay = r[i]
+                bx, by = r[i + 1]
+                if ax == bx and ay == by:
+                    continue
+                sx0, sx1 = (ax, bx) if ax <= bx else (bx, ax)
+                sy0, sy1 = (ay, by) if ay <= by else (by, ay)
+                ts = [0.0, 1.0]
+                for j, other in enumerate(polys_list):
+                    if j == k:
+                        continue
+                    ox0, oy0, ox1, oy1 = pboxes[j]
+                    if sx1 < ox0 or sx0 > ox1 or sy1 < oy0 or sy0 > oy1:
+                        continue
+                    for oring in other:
+                        ts.extend(
+                            _seg_ring_params(ax, ay, bx, by, oring).tolist()
+                        )
+                ts = np.unique(np.asarray(ts, dtype=np.float64))
+                for t0, t1 in zip(ts[:-1], ts[1:]):
+                    if t1 - t0 <= 1e-12:
+                        continue
+                    subs_a.append((ax + t0 * (bx - ax), ay + t0 * (by - ay)))
+                    subs_b.append((ax + t1 * (bx - ax), ay + t1 * (by - ay)))
+                    owners.append(k)
+    A = np.asarray(subs_a)
+    B = np.asarray(subs_b)
+    if len(A) == 0:
+        return []
+
+    # -- classify via ±ε normal probes against the union -------------------
+    d = B - A
+    L = np.hypot(d[:, 0], d[:, 1])
+    L[L == 0] = 1.0
+    nx_, ny_ = -d[:, 1] / L, d[:, 0] / L  # left normal
+    mx, my = (A[:, 0] + B[:, 0]) / 2.0, (A[:, 1] + B[:, 1]) / 2.0
+    lx, ly = mx + pe * nx_, my + pe * ny_
+    rx, ry = mx - pe * nx_, my - pe * ny_
+    in_left = np.zeros(len(A), dtype=bool)
+    in_right = np.zeros(len(A), dtype=bool)
+    for polys in polys_list:
+        in_left |= point_in_polygon(lx, ly, polys)
+        in_right |= point_in_polygon(rx, ry, polys)
+    keep = in_left != in_right
+    # orient interior-on-the-left
+    flip = keep & in_right
+    A2 = np.where(flip[:, None], B, A)[keep]
+    B2 = np.where(flip[:, None], A, B)[keep]
+
+    # -- dedupe coincident boundary copies ---------------------------------
+    def key(p):
+        return (round(p[0] / snap), round(p[1] / snap))
+
+    seen = {}
+    segs = []
+    for a, b in zip(A2, B2):
+        kk = (key(a), key(b))
+        if kk in seen:
+            continue
+        seen[kk] = True
+        segs.append((key(a), key(b), a, b))
+
+    # -- stitch into rings --------------------------------------------------
+    by_start: dict = {}
+    for idx, (ka, kb, a, b) in enumerate(segs):
+        by_start.setdefault(ka, []).append(idx)
+    used = np.zeros(len(segs), dtype=bool)
+    rings_out = []
+    for start in range(len(segs)):
+        if used[start]:
+            continue
+        chain = [segs[start][2]]
+        cur = start
+        used[start] = True
+        guard = 0
+        while guard <= len(segs):
+            guard += 1
+            ka, kb, a, b = segs[cur]
+            chain.append(b)
+            if kb == segs[start][0]:  # closed
+                ring = np.asarray(chain[:-1])
+                if len(ring) >= 3 and abs(shoelace_area(ring)) > snap * scale:
+                    rings_out.append(ring)
+                break
+            nxt = None
+            for cand in by_start.get(kb, []):
+                if not used[cand]:
+                    nxt = cand
+                    break
+            if nxt is None:
+                break  # open chain (degenerate input): discard
+            used[nxt] = True
+            cur = nxt
+
+    # -- group holes under their outers -------------------------------------
+    outers = [r for r in rings_out if shoelace_area(r) > 0]
+    holes = [r for r in rings_out if shoelace_area(r) < 0]
+    result = [[o] for o in outers]
+    for h in holes:
+        hx, hy = h[0, 0], h[0, 1]
+        placed = False
+        for rp in result:
+            # strictly-inside test one snap off the vertex (the vertex
+            # itself may lie on the outer boundary at touch points)
+            if bool(point_in_polygon([hx], [hy], [rp[0]])[0]):
+                rp.append(h)
+                placed = True
+                break
+        if not placed and result:
+            result[0].append(h)
+    return result
+
+
+def union_area(polys_list) -> float:
+    """Area of the union of N polygons-with-holes."""
+    return sum(polygon_area(p) for p in union_polygons(polys_list))
+
+
+def _disc_ring(cx, cy, r, k=32) -> np.ndarray:
+    th = np.linspace(0.0, 2.0 * np.pi, k, endpoint=False)
+    return np.stack([cx + r * np.cos(th), cy + r * np.sin(th)], axis=1)
+
+
+def buffer_polygon(polys, d: float, quad_segs: int = 8):
+    """Outward buffer of a polygon-with-holes by ``d`` — general
+    (CONCAVE rings included) via the Minkowski-sum decomposition:
+    buffer(P, d) = union(P, edge-rectangles, vertex-discs), with discs
+    approximated by 4·quad_segs-gons (Shapely's quad_segs convention;
+    reference utils/geo.py buffer step).  Exact for the polygon and edge
+    offsets; the only approximation is the arc discretization — same as
+    GEOS.  For convex rings offset_ring_convex stays the exact
+    fast path."""
+    if d <= 0:
+        return [polys] if d == 0 else _erode_unsupported()
+    k = max(int(4 * quad_segs), 8)
+    pieces = [polys]
+    outer = ring_close(polys[0])[:-1]
+    rings = [outer] + [ring_close(h)[:-1] for h in polys[1:]]
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            a, b = ring[i], ring[(i + 1) % n]
+            e = b - a
+            ln = float(np.hypot(e[0], e[1]))
+            if ln == 0:
+                continue
+            nrm = np.array([e[1], -e[0]]) / ln
+            rect = np.array([a + d * nrm, b + d * nrm, b - d * nrm, a - d * nrm])
+            pieces.append([rect])
+            pieces.append([_disc_ring(a[0], a[1], d, k)])
+    return union_polygons(pieces)
+
+
+def _erode_unsupported():
+    raise NotImplementedError(
+        "negative (inward) buffers are not implemented — the reference's "
+        "mask pipeline only buffers outward (utils/geo.py:153-201)"
+    )

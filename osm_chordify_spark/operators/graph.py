@@ -903,3 +903,50 @@ def largest_component(
         .join(keep.withColumnRenamed("node_id", "v"), "v", "leftsemi")
     )
     return kept_nodes, kept_edges
+
+
+# ---------------------------------------------------------------------------
+# ferry processing (G7)
+
+FERRY_ATTRS = {
+    "reversed": "False",
+    "maxspeed": "10 mph",
+    "highway": "unclassified",
+    "oneway": "no",
+    "lanes": "2",
+}  # reference graph.py:150-158 constants
+
+
+def process_ferry_edges(
+    nodes: DataFrame, edges: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Make ferry edges car-network-compatible (reference
+    graph.py:112-166 ``process_ferry_edges``): DEFAULT-ALLOW access —
+    an edge is dropped only when ``motorcar == 'no'`` or
+    ``motor_vehicle == 'no'`` explicitly; surviving edges get the
+    constant ferry attributes (maxspeed '10 mph', highway
+    'unclassified', oneway 'no', lanes '2', hgv False, mdv True,
+    reversed False), and the node table is rebuilt to only the nodes
+    the kept edges use (the reference's used-node subgraph rebuild).
+
+    Spark-first: the access mask is a codegen filter, the constant
+    attrs are literal projections, and the node rebuild is one
+    left-semi join — no shuffles beyond it."""
+    kept = edges
+    for col in ("motorcar", "motor_vehicle"):
+        if col in kept.columns:
+            # NULL-safe: only an explicit 'no' denies (reference's
+            # ~(col == 'no') keeps NaN rows)
+            kept = kept.filter(
+                ~F.coalesce(F.col(col).cast("string") == "no", F.lit(False))
+            )
+    for name, val in FERRY_ATTRS.items():
+        kept = kept.withColumn(name, F.lit(val))
+    kept = kept.withColumn("hgv", F.lit(False)).withColumn("mdv", F.lit(True))
+    endpoints = (
+        kept.select(F.col("u").alias("node_id"))
+        .union(kept.select(F.col("v").alias("node_id")))
+        .distinct()
+    )
+    used_nodes = nodes.join(endpoints, "node_id", "leftsemi")
+    return used_nodes, kept

@@ -476,6 +476,53 @@ def zone_intersect_polygons(spark, sf_dir):
 
 
 @register(
+    "polygon_union_area_by_nation",
+    oracle="""
+with rects as (
+  select s_nationkey,
+         cast((s_suppkey * 11) % 16 as int) as x2,
+         cast((s_suppkey * 13) % 16 as int) as y2
+  from supplier
+), cells as (
+  select distinct s_nationkey, x2 + i.i as cx, y2 + j.j as cy
+  from rects, generate_series(0, 3) i(i), generate_series(0, 3) j(j)
+)
+select s_nationkey, cast(round(count(*) * 25e-2, 2) as double) as union_area
+from cells group by s_nationkey
+""",
+)
+def polygon_union_area_by_nation(spark, sf_dir):
+    """General polygon boolean union (geom.union_polygons — U4, the
+    reference's union_all step, utils/geo.py:153-201) exercised
+    distributed: supplier-derived 2×2 rectangles grouped per nation,
+    each group's TRUE union area computed in a grouped-map kernel.  The
+    oracle decomposes the axis-aligned rects onto a half-unit lattice —
+    an exact area oracle for the union."""
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        (F.expr("(s_suppkey * 11) % 16") / F.lit(2.0)).alias("xs"),
+        (F.expr("(s_suppkey * 13) % 16") / F.lit(2.0)).alias("ys"),
+    )
+
+    def union_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        polys = [
+            [np.array([[x, y], [x + 2.0, y], [x + 2.0, y + 2.0], [x, y + 2.0]])]
+            for x, y in zip(pdf["xs"], pdf["ys"])
+        ]
+        area = round(_G.union_area(polys), 2)
+        return pd.DataFrame(
+            {"s_nationkey": [pdf["s_nationkey"].iloc[0]], "union_area": [area]}
+        )
+
+    from osm_chordify_spark.operators.graph import _grouped_map
+
+    return _grouped_map(
+        supp, "s_nationkey", union_group,
+        "s_nationkey long, union_area double",
+    )
+
+
+@register(
     "spatial_left_join",
     oracle="""
 with edges as (

@@ -102,7 +102,14 @@ def test_mask_filter_and_diagnose(spark, tmp_path):
         {"GEOID": "2", "geometry": [np.array([[5.0, 5.0], [7.0, 5.0], [7.0, 7.0], [5.0, 7.0]])]},
     ]
     mask = api.build_area_mask_from_counties(counties)
-    assert G.point_in_polygon([3.5], [3.5], mask)[0]  # hull spans the gap
+    assert len(mask) == 1  # hull mask: one convex polygon
+    assert G.point_in_polygon([3.5], [3.5], mask[0])[0]  # hull spans the gap
+    # land-only mask (use_convex_hull=False): the TRUE union — the gap
+    # between the two disjoint counties is NOT in the mask
+    land = api.build_area_mask_from_counties(counties, use_convex_hull=False)
+    assert len(land) == 2
+    assert not any(bool(G.point_in_polygon([3.5], [3.5], p)[0]) for p in land)
+    assert any(bool(G.point_in_polygon([1.0], [1.0], p)[0]) for p in land)
     assert api.create_osm_highway_filter(["motorway", "trunk"]) == '["highway"~"^(motorway|trunk)$"]'
 
     edges = spark.createDataFrame(

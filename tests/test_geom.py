@@ -6,6 +6,7 @@ proportion 0.5, zone length 5.0; :520-546 — boundary touches drop).
 """
 
 import numpy as np
+import pytest
 
 from osm_chordify_spark import geom as G
 
@@ -158,3 +159,76 @@ def test_wkb_roundtrip():
     kind, polys = G.parse_wkb(G.wkb_multipolygon([SQUARE, LPOLY]))
     assert kind == "multipolygon" and len(polys) == 2
     assert G.geometry_polygons(G.wkb_polygon(SQUARE))[0][0].shape[1] == 2
+
+
+# ---------------------------------------------------------------------------
+# polygon boolean union + general buffer (U4)
+
+
+def test_union_adjacent_counties_shared_edge():
+    """Two counties sharing a border: the shared edge is interior —
+    union is ONE polygon of area 2 (the reference's union_all step,
+    utils/geo.py:153-201)."""
+    a = [np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])]
+    b = [np.array([[1.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0]])]
+    u = G.union_polygons([a, b])
+    assert len(u) == 1
+    assert G.union_area([a, b]) == pytest.approx(2.0)
+
+
+def test_union_concave_two_county_golden():
+    """Concave two-rect L union: hand-computed oracle 3 + 3 - 1 = 5."""
+    l1 = [np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])]
+    l2 = [np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 3.0], [0.0, 3.0]])]
+    u = G.union_polygons([l1, l2])
+    assert len(u) == 1
+    assert G.union_area([l1, l2]) == pytest.approx(5.0)
+    # the union is concave: (2, 2) is outside, (0.5, 2.5) inside
+    assert not bool(G.point_in_polygon([2.0], [2.0], u[0])[0])
+    assert bool(G.point_in_polygon([0.5], [2.5], u[0])[0])
+
+
+def test_union_overlap_disjoint_and_hole_fill():
+    a = [np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])]
+    c = [np.array([[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5]])]
+    assert G.union_area([a, c]) == pytest.approx(1.75)
+    d = [np.array([[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 6.0]])]
+    assert len(G.union_polygons([a, d])) == 2
+    # polygon with a hole, partially patched: hole shrinks but survives
+    sq = [
+        np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]),
+        np.array([[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]]),
+    ]
+    patch = [np.array([[1.5, 1.5], [2.5, 1.5], [2.5, 2.5], [1.5, 2.5]])]
+    u = G.union_polygons([sq, patch])
+    assert G.union_area([sq, patch]) == pytest.approx(13.0)
+    assert any(len(p) == 2 for p in u)  # a hole ring survives
+
+
+def test_buffer_nonconvex_ring():
+    """Buffer of a concave L by 0.25: area = A + perimeter·d + arc area.
+    For the L (A=5, perimeter=12) exterior corner arcs sum to a full
+    disc minus the reflex corner's negative wedge — assert against the
+    Minkowski formula: A + P·d + π·d² − (reflex wedge ≈ d²·(π/2))."""
+    L = [np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [1.0, 1.0],
+                   [1.0, 3.0], [0.0, 3.0]])]
+    d = 0.25
+    out = G.buffer_polygon(L, d, quad_segs=16)
+    assert len(out) == 1
+    got = sum(G.polygon_area(p) for p in out)
+    # exact Minkowski area for a simple polygon: A + P·d + d²·Σ(exterior
+    # turn angles at convex corners); total turning = 2π, the reflex
+    # corner contributes no disc area but cuts nothing (the two edge
+    # rectangles overlap there and union absorbs it) — the closed form:
+    # A + P·d + π·d² is the convex-turn total for any simple ring
+    expect = 5.0 + 12.0 * d + np.pi * d * d
+    assert got == pytest.approx(expect, rel=2e-3)  # arc discretization
+
+
+def test_buffer_matches_exact_convex_offset():
+    sq = [np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])]
+    d = 0.5
+    mink = G.buffer_polygon(sq, d, quad_segs=32)
+    got = sum(G.polygon_area(p) for p in mink)
+    # convex square: exact = A + P·d + π·d²
+    assert got == pytest.approx(4.0 + 8.0 * d + np.pi * d * d, rel=1e-3)

@@ -290,3 +290,36 @@ def test_chordify_ring_chain(spark):
     assert r["length"] == 4.0
     assert sorted(r["merged_osmids"]) == [101, 102, 103, 104]
     assert r["u"] == r["v"]  # ring collapses to a self-loop chord
+
+
+def test_process_ferry_edges_default_allow(spark):
+    """reference graph.py:112-166: access is default-ALLOW; only explicit
+    motorcar='no' / motor_vehicle='no' deny; kept edges get the constant
+    ferry attrs; node table shrinks to used nodes."""
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "u": [1, 2, 3, 4],
+                "v": [2, 3, 4, 5],
+                "key": [0, 0, 0, 0],
+                "motorcar": [None, "no", "yes", None],
+                "motor_vehicle": [None, None, None, "no"],
+                "maxspeed": ["30 mph", None, "20", None],
+            }
+        )
+    )
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"node_id": [1, 2, 3, 4, 5, 99],
+                      "x": [0.0] * 6, "y": [0.0] * 6})
+    )
+    kn, ke = GR.process_ferry_edges(nodes, edges)
+    out = ke.toPandas().sort_values("u")
+    # row (2,3) denied by motorcar='no'; row (4,5) denied by motor_vehicle='no'
+    assert list(out["u"]) == [1, 3]
+    assert set(out["maxspeed"]) == {"10 mph"}
+    assert set(out["highway"]) == {"unclassified"}
+    assert set(out["oneway"]) == {"no"}
+    assert set(out["lanes"]) == {"2"}
+    assert not out["hgv"].any() and out["mdv"].all()
+    # used nodes only: {1,2} ∪ {3,4}; node 5 and 99 dropped
+    assert sorted(kn.toPandas()["node_id"]) == [1, 2, 3, 4]
