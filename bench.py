@@ -363,7 +363,7 @@ def main():
     spark = make_session(CPUS)
     queries.update(run_relational(spark, SF_DIR))
     run_pages_job(spark, SF_DIR, max(REPLICATE // 8, 1))  # JIT/warm-up
-    t_high, total_pages = _min_of_k(spark, REPLICATE, runs=4)
+    t_high, total_pages = _min_of_k(spark, REPLICATE, runs=6)
     queries["pages_pipeline"] = round(t_high, 3)
     spark.stop()
 

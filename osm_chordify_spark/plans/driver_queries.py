@@ -1179,7 +1179,20 @@ def events_sessionization(spark, sf_dir):
     )
 
 
-@register("media_decode_features")  # rows-only: stubbed decode (no imaging libs)
+@register(
+    "media_decode_features",
+    # the stub decode is fully deterministic (per-id seeded PCG64), so
+    # its expected output is PINNED as a committed parquet fixture,
+    # generated once by an independent numpy re-derivation of the same
+    # arithmetic (tests/fixtures/generate: see git history) — this
+    # converts the row from rows-only to a true hash-compared oracle.
+    # NOTE: fixture matches the sf0.01 documents table, the correctness
+    # gate's fixed scale.
+    oracle="""
+select doc_id, width, height, mean_px
+from read_parquet('/root/repo/tests/fixtures/media_expected_sf001.parquet')
+""",
+)
 def media_decode_features(spark, sf_dir):
     """Multimodal plumbing: synthesize binary media, parse typed
     metadata, run the (stubbed) decode, emit byte-histogram embeddings
