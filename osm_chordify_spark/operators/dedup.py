@@ -442,3 +442,87 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicates
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    method: str = "lsh",
+    dim: int | None = None,
+    n_bits: int = 4,
+    n_tables: int = 12,
+    max_exact_rows: int = 100_000,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    method="lsh" (the 100 TB path): candidates come from n_tables
+    independent sign-random-projection bucketings (ann.srp_bucket) —
+    per-table equi-joins on (table, bucket), unioned and deduped, never
+    a cross join; every candidate is verified with the exact cosine.
+    Recall is probabilistic: P(miss) = (1 − p^n_bits)^n_tables with
+    p = 1 − θ/π, so raise n_tables (or lower n_bits) for lower
+    thresholds.
+
+    method="exact": broadcast all-pairs baseline, guarded by
+    ``max_exact_rows`` exactly like ngram_jaccard_pairs' unblocked path
+    — the oracle-verifiable small-side variant, NOT the scale path."""
+    from osm_chordify_spark.operators.ann import cosine, srp_bucket
+
+    base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("v"))
+    if method == "exact":
+        n = base.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"exact embedding-cosine pairs on {n} rows would cross-join "
+                f"{n * n:,} pairs; use method='lsh' (the scale path) or raise "
+                "max_exact_rows explicitly"
+            )
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        cand = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        if dim is None:
+            first = df.select(F.size(emb_col)).first()
+            dim = int(first[0])
+        bucketed = None
+        for t in range(n_tables):
+            bt = base.select(
+                "id",
+                F.lit(t).alias("tbl"),
+                srp_bucket(F.col("v"), dim, n_bits, seed=29 + t).alias("bkt"),
+            )
+            bucketed = bt if bucketed is None else bucketed.unionByName(bt)
+        ids = (
+            bucketed.alias("a")
+            .join(bucketed.alias("b"), ["tbl", "bkt"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        attach = base
+        cand = (
+            ids.join(attach.withColumnsRenamed({"id": "id_a", "v": "v_a"}), "id_a")
+            .join(attach.withColumnsRenamed({"id": "id_b", "v": "v_b"}), "id_b")
+        )
+    else:
+        raise ValueError(f"method must be 'lsh' or 'exact', got {method!r}")
+    return (
+        cand.withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_cosine_dedup(
+    df: DataFrame, emb_col: str = "embedding", id_col: str = "vec_id", **kw
+) -> DataFrame:
+    """Keep one representative (min id) per cosine-near-duplicate
+    cluster — the embedding-space analogue of minhash_lsh_dedup."""
+    pairs = embedding_cosine_pairs(df, emb_col, id_col, **kw)
+    return dedup_from_pairs(df, pairs, id_col)

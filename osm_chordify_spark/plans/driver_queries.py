@@ -1180,6 +1180,45 @@ def events_sessionization(spark, sf_dir):
 
 
 @register(
+    "embedding_cosine_dedup",
+    oracle="""
+with copies as (
+  select vec_id + 100000 as vec_id,
+         list_prepend(embedding[1] + 5e-1, embedding[2:]) as embedding
+  from embeddings where vec_id % 10 = 0
+), allv as (
+  select vec_id, embedding from embeddings union all select * from copies
+), pairs as (
+  select a.vec_id as ia, b.vec_id as ib
+  from allv a join allv b on a.vec_id < b.vec_id
+  where list_cosine_similarity(a.embedding, b.embedding) >= 7e-1
+)
+select vec_id from allv where vec_id not in (select ib from pairs)
+""",
+)
+def embedding_cosine_dedup_q(spark, sf_dir):
+    """Embedding-cosine near-dup removal: deterministic near-duplicates
+    are derived in-query (every 10th vector gets a perturbed copy,
+    first component +0.5 — cosine ≥ 0.87 to its source, ≤ 0.55 to
+    everything else), then dedup keeps the min id per cosine cluster.
+    This exercises the exact (oracle-verifiable) path; the LSH-bucketed
+    scale path is recall-tested in pytest (test_dedup_ops)."""
+    from osm_chordify_spark.operators.dedup import embedding_cosine_dedup as _ecd
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.5)).cast("float")),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    allv = emb.unionByName(copies)
+    kept = _ecd(allv, threshold=0.7, method="exact")
+    return kept.select("vec_id")
+
+
+@register(
     "media_decode_features",
     # the stub decode is fully deterministic (per-id seeded PCG64), so
     # its expected output is PINNED as a committed parquet fixture,

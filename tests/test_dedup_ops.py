@@ -159,3 +159,44 @@ def test_ann_lsh_recall_vs_exact(spark):
     recall = len(e & a) / len(e)
     assert recall >= 0.5  # approximate, but must find a majority
     assert len(exact) == 25  # 5 queries × 5 neighbors, self excluded
+
+
+def test_embedding_cosine_dedup_exact_and_lsh_recall(spark):
+    """Derived near-duplicates (perturbed copies, cosine ≥ 0.87 to the
+    source, ≤ 0.55 cross): the exact path removes exactly the copies;
+    the SRP-LSH scale path recovers ≥ 90% of the true pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_chordify_spark.operators.dedup import (
+        embedding_cosine_dedup,
+        embedding_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(42)
+    n, dim = 120, 32
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(n)]
+    for i in range(0, n, 10):
+        v = base[i].copy()
+        v[0] += 0.5
+        rows.append({"vec_id": 100000 + i, "embedding": v.tolist()})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    exact = embedding_cosine_pairs(df, threshold=0.7, method="exact")
+    epairs = {tuple(r) for r in exact.select("id_a", "id_b").collect()}
+    assert epairs == {(i, 100000 + i) for i in range(0, n, 10)}
+
+    kept = embedding_cosine_dedup(df, threshold=0.7, method="exact")
+    kept_ids = sorted(r.vec_id for r in kept.select("vec_id").collect())
+    assert kept_ids == list(range(n))  # every copy removed, min id kept
+
+    lsh = embedding_cosine_pairs(
+        df, threshold=0.7, method="lsh", n_bits=4, n_tables=12
+    )
+    lpairs = {tuple(r) for r in lsh.select("id_a", "id_b").collect()}
+    assert lpairs <= epairs  # exact verify: no false positives
+    assert len(lpairs) >= 0.9 * len(epairs)
+
+    with pytest.raises(ValueError):
+        embedding_cosine_pairs(df, method="exact", max_exact_rows=10)
