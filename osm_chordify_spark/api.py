@@ -276,19 +276,56 @@ def create_osm_highway_filter(highway_types) -> str:
 def export_network(
     nodes: DataFrame, edges: DataFrame, output_dir: str, name: str = "network",
     formats=("parquet", "csv", "json"),
+    edge_tags=None, edge_tag_aggs=None,
 ) -> dict:
-    """Multi-format export fan-out (reference osm/export.py:27-120;
-    GraphML/PBF/XML are GDAL/libosmium territory — parquet/csv/json
-    cover the lake-native surface)."""
+    """Multi-format export fan-out (reference osm/export.py:27-120).
+
+    Lake-native: parquet/csv/json (per-table directories).
+    Graph formats (from scratch, no GDAL/OSMnx/libosmium):
+    ``graphml`` (sources/export_formats.save_graphml), ``gpkg``
+    (stdlib-sqlite GeoPackage), ``geojson`` (edge FeatureCollection),
+    ``osm`` (sources/osm_xml.save_graph_xml), ``pkl`` (driver-side,
+    row-guarded).  ``pbf`` is NOT supported: the protobuf container
+    needs libosmium-grade machinery (reference export.py:149-156 uses
+    pyosmium), absent from this environment by policy — passing it
+    raises with this explanation."""
     import os
+
+    from osm_chordify_spark.sources import export_formats as XF
+    from osm_chordify_spark.sources.osm_xml import save_graph_xml
 
     out = {}
     for fmt in formats:
-        npath = os.path.join(output_dir, f"{name}_nodes.{fmt}")
-        epath = os.path.join(output_dir, f"{name}_edges.{fmt}")
-        IO.save_table(nodes, npath, fmt=fmt)
-        IO.save_table(edges, epath, fmt=fmt)
-        out[fmt] = {"nodes": npath, "edges": epath}
+        if fmt == "pbf":
+            raise NotImplementedError(
+                "PBF export requires pyosmium/libosmium (reference "
+                "export.py:149-156), unavailable here; use 'osm' (XML) "
+                "and convert externally"
+            )
+        if fmt == "graphml":
+            p = os.path.join(output_dir, f"{name}.graphml")
+            out[fmt] = XF.save_graphml(nodes, edges, p)
+        elif fmt == "geojson":
+            p = os.path.join(output_dir, f"{name}.osm.geojson")
+            out[fmt] = XF.save_geojson(edges, p)
+        elif fmt == "gpkg":
+            p = os.path.join(output_dir, f"{name}.gpkg")
+            out[fmt] = XF.save_gpkg(nodes, edges, p)
+        elif fmt == "pkl":
+            p = os.path.join(output_dir, f"{name}.pkl")
+            out[fmt] = XF.save_pickle(nodes, edges, p)
+        elif fmt == "osm":
+            p = os.path.join(output_dir, f"{name}.osm")
+            out[fmt] = save_graph_xml(
+                nodes, edges, p, edge_tags=edge_tags,
+                edge_tag_aggs=edge_tag_aggs,
+            )
+        else:
+            npath = os.path.join(output_dir, f"{name}_nodes.{fmt}")
+            epath = os.path.join(output_dir, f"{name}_edges.{fmt}")
+            IO.save_table(nodes, npath, fmt=fmt)
+            IO.save_table(edges, epath, fmt=fmt)
+            out[fmt] = {"nodes": npath, "edges": epath}
     return out
 
 
