@@ -649,7 +649,19 @@ def spatial_left_join_with_zones(
 ) -> DataFrame:
     """Left spatial join: every input row kept; zone attrs appended
     (NULL when unmatched); k matching zones ⇒ k rows
-    (reference intersect.py:1497-1554)."""
+    (reference intersect.py:1497-1554).
+
+    A DataFrame ``zones`` routes through the distributed cell-join path
+    (operators.intersect_dist) — the non-broadcastable-zones shape."""
+    if isinstance(zones, DataFrame):
+        from osm_chordify_spark.operators.intersect_dist import (
+            spatial_left_join_with_zones_dist,
+        )
+
+        return spatial_left_join_with_zones_dist(
+            df, zones, zone_label=zone_label, index_res=index_res,
+            geometry_kind=geometry_kind,
+        )
     spark = df.sparkSession
     index = zones.index(res=index_res)
     b_index = spark.sparkContext.broadcast(index)

@@ -88,34 +88,14 @@ def _effective_res(zones_df: DataFrame, geometry_col: str, index_res: int,
     return int(row.r) if row.r is not None else index_res
 
 
-def intersect_lines_with_zones_dist(
-    edges: DataFrame,
-    zones_df: DataFrame,
-    *,
-    zone_label: str | None = None,
-    include_void_zones: bool = False,
-    index_res: int = 9,
-    keep_geometry: bool = True,
-    geometry_col: str = "geometry",
-    world=ci.WORLD,
-    max_cells_per_zone: int = 4096,
-    salt_buckets: int = 8,
-) -> DataFrame:
-    """Exact line∩polygon join with proportional length metrics over a
-    DataFrame zone table — same contract as
-    ``intersect.intersect_lines_with_zones`` (which see), for zone
-    tables too large to broadcast."""
-    spark = edges.sparkSession
-    metric_names = line_metric_names(zone_label)
-    zone_fields = [f for f in zones_df.schema.fields if f.name != geometry_col]
-    schema, edge_renames, zone_renames, edge_attr_cols = _assemble_schema(
-        edges.schema, zone_fields, metric_names, zone_label, keep_geometry
-    )
-    out_fields = list(schema.fields)
-    if include_void_zones:
-        out_fields = out_fields + [StructField("__zid", LongType(), True)]
-    kern_schema = StructType(out_fields)
 
+def _build_candidates(edges, zones_df, zone_fields, zone_renames, edge_renames,
+                      edge_attr_cols, geometry_col, index_res, world,
+                      max_cells_per_zone):
+    """Shared candidate machinery for the distributed operators:
+    frozen-id zone payload, zone/edge cell tables, and the
+    (edge, zone, contained, edge_len) candidate set from the cell
+    equi-join + containment aggregate."""
     eff_res = _effective_res(zones_df, geometry_col, index_res, world,
                              max_cells_per_zone)
 
@@ -164,14 +144,19 @@ def intersect_lines_with_zones_dist(
         for pdf in batches:
             eids, cells, ncs, lens = [], [], [], []
             for eid, g in zip(pdf["__eid"], pdf["geometry"]):
-                lines = G.geometry_lines(bytes(g))
-                xs = np.concatenate([ln[:, 0] for ln in lines])
-                ys = np.concatenate([ln[:, 1] for ln in lines])
+                kind, _ = G.parse_wkb(bytes(g))
+                if kind in ("polygon", "multipolygon"):
+                    parts = [rings[0] for rings in G.geometry_polygons(bytes(g))]
+                    elen = 0.0
+                else:
+                    parts = G.geometry_lines(bytes(g))
+                    elen = round(sum(G.polyline_length(ln) for ln in parts), 2)
+                xs = np.concatenate([np.asarray(pt)[:, 0] for pt in parts])
+                ys = np.concatenate([np.asarray(pt)[:, 1] for pt in parts])
                 cover = ci.cover_bbox(
                     xs.min(), ys.min(), xs.max(), ys.max(), eff_res, world,
                     max_cells=1 << 20,
                 )
-                elen = round(sum(G.polyline_length(ln) for ln in lines), 2)
                 n = len(cover)
                 eids.extend([eid] * n)
                 cells.extend(cover.tolist())
@@ -201,6 +186,41 @@ def intersect_lines_with_zones_dist(
             (F.col("__hits") == F.col("__ncells")) & (F.col("__allfull") == 1),
         )
         .select("__eid", "__zid", "__contained", "__elen")
+    )
+    return e, epay, zindexed, cand, eff_res
+
+
+def intersect_lines_with_zones_dist(
+    edges: DataFrame,
+    zones_df: DataFrame,
+    *,
+    zone_label: str | None = None,
+    include_void_zones: bool = False,
+    index_res: int = 9,
+    keep_geometry: bool = True,
+    geometry_col: str = "geometry",
+    world=ci.WORLD,
+    max_cells_per_zone: int = 4096,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Exact line∩polygon join with proportional length metrics over a
+    DataFrame zone table — same contract as
+    ``intersect.intersect_lines_with_zones`` (which see), for zone
+    tables too large to broadcast."""
+    spark = edges.sparkSession
+    metric_names = line_metric_names(zone_label)
+    zone_fields = [f for f in zones_df.schema.fields if f.name != geometry_col]
+    schema, edge_renames, zone_renames, edge_attr_cols = _assemble_schema(
+        edges.schema, zone_fields, metric_names, zone_label, keep_geometry
+    )
+    out_fields = list(schema.fields)
+    if include_void_zones:
+        out_fields = out_fields + [StructField("__zid", LongType(), True)]
+    kern_schema = StructType(out_fields)
+
+    e, epay, zindexed, cand, eff_res = _build_candidates(
+        edges, zones_df, zone_fields, zone_renames, edge_renames,
+        edge_attr_cols, geometry_col, index_res, world, max_cells_per_zone,
     )
 
     # ---- re-attach payloads, run the exact kernel per salted zone group -
@@ -331,3 +351,87 @@ def _edge_bbox_batches(batches):
         yield pd.DataFrame(
             {"x0": arr[:, 0], "y0": arr[:, 1], "x1": arr[:, 2], "y1": arr[:, 3]}
         )
+
+
+def spatial_left_join_with_zones_dist(
+    df: DataFrame,
+    zones_df: DataFrame,
+    *,
+    zone_label: str | None = None,
+    index_res: int = 9,
+    geometry_kind: str = "line",
+    geometry_col: str = "geometry",
+    world=ci.WORLD,
+    max_cells_per_zone: int = 4096,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Distributed left spatial join — same contract as
+    ``intersect.spatial_left_join_with_zones`` (every input row kept; k
+    matching zones ⇒ k rows; NULL zone attrs when unmatched), over a
+    DataFrame zone table too large to broadcast.
+
+    Shares the candidate machinery with the intersect operator; the
+    exact touch test (inside length > 0 for lines, overlap area > 0 for
+    polygon subjects) runs per salted zone group, and the final shape is
+    one LEFT equi-join of the input against the matched (row, zone)
+    pairs carrying the renamed zone attributes."""
+    from osm_chordify_spark.operators.intersect import zone_output_name, _label
+
+    existing = set(df.columns)
+    zone_fields = [f for f in zones_df.schema.fields if f.name != geometry_col]
+    zone_renames = {}
+    for zf in zone_fields:
+        out = zone_output_name(zf.name, existing, prefix=_label(zone_label) or "zone")
+        zone_renames[zf.name] = out
+        existing.add(out)
+    e, epay, zindexed, cand, eff_res = _build_candidates(
+        df, zones_df, zone_fields, zone_renames, {}, [],
+        geometry_col, index_res, world, max_cells_per_zone,
+    )
+    pend = (
+        cand.filter(~F.col("__contained"))
+        .select("__eid", "__zid")
+        .join(zindexed.select("__zid", "__zgeom"), "__zid")
+        .join(epay.select("__eid", "__egeom"), "__eid")
+        .withColumn(
+            "__gk",
+            F.concat_ws(
+                "#",
+                F.col("__zid").cast("string"),
+                F.pmod(F.xxhash64("__eid"), F.lit(salt_buckets)).cast("string"),
+            ),
+        )
+    )
+
+    def touch_kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        zpolys = G.geometry_polygons(bytes(pdf["__zgeom"].iloc[0]))
+        keep = []
+        if geometry_kind == "line":
+            lines = [G.geometry_lines(bytes(g)) for g in pdf["__egeom"]]
+            totals, _ = _exact_clip_edges_vs_zone(lines, zpolys, False)
+            keep = [i for i in range(len(pdf)) if totals[i] > 0]
+        else:
+            for i, g in enumerate(pdf["__egeom"]):
+                subj = G.geometry_polygons(bytes(g))
+                touched = any(
+                    G.poly_poly_area(srings, zrings) > 0
+                    for zrings in zpolys
+                    for srings in subj
+                )
+                if touched:
+                    keep.append(i)
+        base = pdf.iloc[keep]
+        return pd.DataFrame(
+            {"__eid": base["__eid"], "__zid": base["__zid"]},
+            columns=["__eid", "__zid"],
+        )
+
+    from osm_chordify_spark.operators.graph import _grouped_map
+
+    touched = _grouped_map(pend, "__gk", touch_kern, "__eid long, __zid long")
+    hits = (
+        cand.filter(F.col("__contained")).select("__eid", "__zid")
+        .unionByName(touched)
+    )
+    matched = hits.join(zindexed.drop("__zgeom"), "__zid").drop("__zid")
+    return e.join(matched, "__eid", "left").drop("__eid")

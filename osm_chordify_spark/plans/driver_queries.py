@@ -554,6 +554,51 @@ def spatial_left_join(spark, sf_dir):
     return out.select("osm_id", "zone_zone_id")
 
 
+@register(
+    "spatial_left_join_dist",
+    oracle="""
+with edges as (
+  select p_partkey as osm_id,
+         ((p_partkey * 7) % 60) / 1e1 as xs,
+         ((p_partkey * 7) % 60) / 1e1 + 4e0 as xe,
+         ((p_partkey * 13) % 95) / 1e1 + 25e-2 as y
+  from part
+), cells as (
+  select i.i, j.j from generate_series(0, 9) i(i), generate_series(0, 9) j(j)
+), hits as (
+  select e.osm_id, 'G' || c.i || '_' || c.j as zone_zone_id
+  from edges e join cells c on e.y >= c.j and e.y < c.j + 1
+  where greatest(0e0, least(e.xe, c.i + 1e0) - greatest(e.xs, cast(c.i as double))) > 0
+)
+select e.osm_id, h.zone_zone_id
+from edges e left join hits h on e.osm_id = h.osm_id
+""",
+)
+def spatial_left_join_dist(spark, sf_dir):
+    """Distributed left spatial join (operators.intersect_dist): zones
+    as a 100-polygon DataFrame, candidates from the cell equi-join, k
+    matching zones ⇒ k rows, NULLs kept — the non-broadcastable-zones
+    variant of spatial_left_join (row-parity with the broadcast path
+    pinned in pytest)."""
+    edges = _part_edges(spark, sf_dir)
+    from osm_chordify_spark.operators import intersect_dist as _ID
+
+    grid = [
+        {
+            "zone_id": f"G{i}_{j}",
+            "geometry": [np.array(
+                [[float(i), float(j)], [i + 1.0, float(j)],
+                 [i + 1.0, j + 1.0], [float(i), j + 1.0]]
+            )],
+        }
+        for i in range(10)
+        for j in range(10)
+    ]
+    zdf = _ID.zones_to_df(spark, _I.Zones.from_records(grid))
+    out = _I.spatial_left_join_with_zones(edges, zdf)
+    return out.select("osm_id", "zone_zone_id")
+
+
 # ---------------------------------------------------------------------------
 # graph operators (SURVEY §2.9 — chordify contraction, components)
 

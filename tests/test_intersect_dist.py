@@ -135,3 +135,38 @@ def test_dist_multipolygon_zone_and_boundary_touch_drop(spark):
     assert set(out["edge_osm_id"]) == {1}
     r = out[out["edge_osm_id"] == 1].iloc[0]
     assert r["zone_link_length_m"] == pytest.approx(3.0)  # 1.5 in each part
+
+
+def test_dist_left_join_parity_and_unmatched(spark):
+    """Distributed left join: row-for-row parity with the broadcast path
+    including unmatched rows (NULL zone attrs) and k-match fan-out."""
+    base = spark.range(0, 200, 1, 4).select(
+        F.col("id").alias("osm_id"),
+        F.expr("((id * 7) % 40) / 1e1").alias("xs"),
+        F.expr(
+            "((id * 13) % 55) / 1e1 + 25e-2 "
+            "+ case when id % 17 = 0 then 100e0 else 0e0 end"
+        ).alias("y"),
+    )
+
+    @F.pandas_udf("binary")
+    def mk(xs: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [G.wkb_linestring([[x, yy], [x + 2.5, yy]]) for x, yy in zip(xs, y)]
+        )
+
+    edges = base.select("osm_id", mk("xs", "y").alias("geometry"))
+    zones = I.Zones.from_records(_grid_zones())
+    zdf = ID.zones_to_df(spark, zones)
+    a = (
+        I.spatial_left_join_with_zones(edges, zones)
+        .select("osm_id", "zone_zone_id").toPandas()
+    )
+    b = (
+        I.spatial_left_join_with_zones(edges, zdf)  # DataFrame → dist path
+        .select("osm_id", "zone_zone_id").toPandas()
+    )
+    ka = sorted(map(tuple, a.fillna("N").itertuples(index=False)))
+    kb = sorted(map(tuple, b.fillna("N").itertuples(index=False)))
+    assert ka == kb
+    assert a["zone_zone_id"].isna().sum() > 0  # off-grid rows kept with NULLs
