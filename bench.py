@@ -190,8 +190,14 @@ def _min_of_k(spark, k_rep: int, runs: int = 3):
     return best, total
 
 
-SCALE_EDGES = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", "600000"))
-SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+# 2.4M edges per leg: long enough (~50 s at 8 cores) that per-job fixed
+# overheads (session/stage setup, Python worker spin-up) stop eating the
+# measured speedup — at 600k edges they capped raw efficiency near 0.55
+# even in clean windows; at 2.4M the same windows read 0.67+ (and ≥0.8
+# on an uncontended host).  Legs are min-of-RUNS, interleaved, retried
+# per run_scaling_block.
+SCALE_EDGES = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", "2400000"))
+SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
 
 _RECT_ZONES_NP = None
 

@@ -532,7 +532,19 @@ def intersect_polygons_with_zones(
     (reference intersect.py:927-958 road-polygons; :1023-1054 cascade).
 
     proportion = overlap_area / subject_area (0 when subject area 0);
-    zone length = length_col * proportion; surfaces rounded to 2 dp."""
+    zone length = length_col * proportion; surfaces rounded to 2 dp.
+
+    A DataFrame ``zones`` routes through the distributed cell-join path
+    (operators.intersect_dist) — the non-broadcastable-zones shape."""
+    if isinstance(zones, DataFrame):
+        from osm_chordify_spark.operators.intersect_dist import (
+            intersect_polygons_with_zones_dist,
+        )
+
+        return intersect_polygons_with_zones_dist(
+            polys, zones, zone_label=zone_label, length_col=length_col,
+            index_res=index_res, keep_geometry=keep_geometry, cascade=cascade,
+        )
     metric_names = (
         cascade_metric_names(zone_label) if cascade else polygon_metric_names(zone_label)
     )

@@ -33,6 +33,16 @@ Scale shape: no broadcast anywhere; the only driver-side values are two
 scalars (effective resolution, global edge bbox).  Shuffles: cell join,
 candidate groupBy, two re-attach joins, one grouped-map repartition —
 all on keys AQE can handle; the fact side is never collected.
+
+Known trade-off, deliberately taken: the re-attach join duplicates the
+zone's geometry bytes once per candidate pair through the grouped-map
+shuffle (a 10k-vertex county ring with 10k candidate edges repeats its
+WKB 10k×).  The alternative — ``cogroup().applyInPandas`` shipping the
+geometry once per (zone, salt) group — pays the ~5 ms/group Arrow tax
+this repo measured and designed around (graph._grouped_map docstring);
+with salting bounding group width and zone rings typically ≤ a few KB,
+the duplication is the cheaper side.  Revisit if zone geometries are
+megabyte-scale: cogroup wins there.
 """
 
 from __future__ import annotations
@@ -146,8 +156,11 @@ def _build_candidates(edges, zones_df, zone_fields, zone_renames, edge_renames,
             for eid, g in zip(pdf["__eid"], pdf["geometry"]):
                 kind, _ = G.parse_wkb(bytes(g))
                 if kind in ("polygon", "multipolygon"):
-                    parts = [rings[0] for rings in G.geometry_polygons(bytes(g))]
-                    elen = 0.0
+                    polys = G.geometry_polygons(bytes(g))
+                    parts = [rings[0] for rings in polys]
+                    # polygon subjects: the carried measure is the rounded
+                    # subject AREA (the broadcast op's subj_area)
+                    elen = round(sum(G.polygon_area(rings) for rings in polys), 2)
                 else:
                     parts = G.geometry_lines(bytes(g))
                     elen = round(sum(G.polyline_length(ln) for ln in parts), 2)
@@ -435,3 +448,124 @@ def spatial_left_join_with_zones_dist(
     )
     matched = hits.join(zindexed.drop("__zgeom"), "__zid").drop("__zid")
     return e.join(matched, "__eid", "left").drop("__eid")
+
+
+def intersect_polygons_with_zones_dist(
+    polys: DataFrame,
+    zones_df: DataFrame,
+    *,
+    zone_label: str | None = None,
+    length_col: str | None = "edge_length",
+    index_res: int = 9,
+    keep_geometry: bool = True,
+    cascade: bool = False,
+    geometry_col: str = "geometry",
+    world=ci.WORLD,
+    max_cells_per_zone: int = 4096,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Distributed polygon-subject variant — same contract as
+    ``intersect.intersect_polygons_with_zones`` (area-based proportions,
+    cascade metric names supported), for zone tables too large to
+    broadcast.  Completes the distributed family: lines, left join, and
+    polygon subjects all run off the shared candidate machinery."""
+    from osm_chordify_spark.operators.intersect import (
+        cascade_metric_names,
+        polygon_metric_names,
+    )
+
+    metric_names = (
+        cascade_metric_names(zone_label) if cascade else polygon_metric_names(zone_label)
+    )
+    if cascade:
+        extra = (metric_names["piece_surface"], metric_names["zone_surface"])
+        mp, me, mz = (metric_names["proportion"], metric_names["piece_length"],
+                      metric_names["zone_length"])
+        m_es, m_zs = metric_names["piece_surface"], metric_names["zone_surface"]
+        base_names = {"proportion": mp, "edge_length": me, "zone_length": mz}
+    else:
+        extra = (metric_names["edge_surface"], metric_names["zone_surface"])
+        mp, me, mz = (metric_names["proportion"], metric_names["edge_length"],
+                      metric_names["zone_length"])
+        m_es, m_zs = metric_names["edge_surface"], metric_names["zone_surface"]
+        base_names = metric_names
+    zone_fields = [f for f in zones_df.schema.fields if f.name != geometry_col]
+    schema, edge_renames, zone_renames, edge_attr_cols = _assemble_schema(
+        polys.schema, zone_fields, base_names, zone_label, keep_geometry,
+        extra_metrics=extra,
+    )
+    e, epay, zindexed, cand, eff_res = _build_candidates(
+        polys, zones_df, zone_fields, zone_renames, edge_renames,
+        edge_attr_cols, geometry_col, index_res, world, max_cells_per_zone,
+    )
+    work = (
+        cand.join(zindexed, "__zid")
+        .join(epay, "__eid")
+        .withColumn(
+            "__gk",
+            F.concat_ws(
+                "#",
+                F.col("__zid").cast("string"),
+                F.pmod(F.xxhash64("__eid"), F.lit(salt_buckets)).cast("string"),
+            ),
+        )
+    )
+    out_names = [f.name for f in schema.fields]
+    attr_names = [edge_renames[c] for c in edge_attr_cols] + [
+        zone_renames[zf.name] for zf in zone_fields
+    ]
+    len_attr = edge_renames.get(length_col) if length_col else None
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        zpolys = G.geometry_polygons(bytes(pdf["__zgeom"].iloc[0]))
+        contained = pdf["__contained"].to_numpy()
+        areas = pdf["__elen"].to_numpy()  # rounded subject areas
+        len_vals = pdf[len_attr].to_numpy() if len_attr and len_attr in pdf else None
+        keep = []
+        rows = {mp: [], me: [], mz: [], m_es: [], m_zs: []}
+        geov = []
+        for i in range(len(pdf)):
+            subj_area = float(areas[i])
+            subj = G.geometry_polygons(bytes(pdf["__egeom"].iloc[i]))
+            if contained[i]:
+                overlap = subj_area
+                pieces_wkb = bytes(pdf["__egeom"].iloc[i])
+            else:
+                overlap = 0.0
+                piece_rings = []
+                for zrings in zpolys:
+                    for srings in subj:
+                        overlap += G.poly_poly_area(srings, zrings)
+                        piece_rings.extend(G.clip_poly_general(srings, zrings))
+                overlap = round(overlap, 2)
+                if overlap <= 0:
+                    continue  # boundary touch: dropped
+                if not piece_rings:
+                    pieces_wkb = None
+                elif len(piece_rings) == 1:
+                    pieces_wkb = G.wkb_polygon([piece_rings[0]])
+                else:
+                    pieces_wkb = G.wkb_multipolygon([[p] for p in piece_rings])
+            prop = round(overlap / subj_area, 4) if subj_area > 0 else 0.0
+            full_len = float(len_vals[i]) if len_vals is not None else None
+            keep.append(i)
+            rows[mp].append(prop)
+            rows[me].append(full_len if full_len is not None else subj_area)
+            rows[mz].append(
+                round(full_len * prop, 2) if full_len is not None else overlap
+            )
+            rows[m_es].append(subj_area)
+            rows[m_zs].append(overlap)
+            if keep_geometry:
+                geov.append(pieces_wkb)
+        base = pdf.iloc[keep].reset_index(drop=True)
+        out = dict(rows)
+        if keep_geometry:
+            out["geometry"] = geov
+        for c in attr_names:
+            out[c] = base[c]
+        return pd.DataFrame(out, columns=out_names)
+
+    from osm_chordify_spark.operators.graph import _grouped_map
+
+    return _grouped_map(work, "__gk", kern, schema)

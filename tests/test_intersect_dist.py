@@ -170,3 +170,40 @@ def test_dist_left_join_parity_and_unmatched(spark):
     kb = sorted(map(tuple, b.fillna("N").itertuples(index=False)))
     assert ka == kb
     assert a["zone_zone_id"].isna().sum() > 0  # off-grid rows kept with NULLs
+
+
+def test_dist_polygon_subjects_parity(spark):
+    """Distributed polygon-subject intersect: metric parity with the
+    broadcast path (area proportions, surfaces, length_col scaling)."""
+    base = spark.range(0, 150, 1, 4).select(
+        F.col("id").alias("osm_id"),
+        F.expr("((id * 11) % 45) / 1e1").alias("xs"),
+        F.expr("((id * 13) % 40) / 1e1 + 25e-2").alias("ys"),
+    )
+
+    @F.pandas_udf("binary")
+    def mk_rect(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                G.wkb_polygon([[[x, y], [x + 1.5, y], [x + 1.5, y + 1.5], [x, y + 1.5]]])
+                for x, y in zip(xs, ys)
+            ]
+        )
+
+    polys = base.select(
+        "osm_id", F.lit(6.0).alias("edge_length"), mk_rect("xs", "ys").alias("geometry")
+    )
+    zones = I.Zones.from_records(_grid_zones())
+    zdf = ID.zones_to_df(spark, zones)
+    cols = ["edge_osm_id", "zone_zone_id", "zone_edge_proportion",
+            "edge_surface_m2", "zone_surface_m2", "zone_link_length_m"]
+    a = (
+        I.intersect_polygons_with_zones(polys, zones, keep_geometry=False)
+        .select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    b = (
+        I.intersect_polygons_with_zones(polys, zdf, keep_geometry=False)
+        .select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b)
