@@ -171,7 +171,9 @@ def run_relational(spark: SparkSession, sf_dir: str) -> dict:
         if name not in qs:
             continue
         best = None
-        for _ in range(1 if name in heavy else 2):
+        for _ in range(2):  # min-of-2 even for heavy queries: single
+            # shots under hypervisor-steal bursts are a lottery (observed
+            # 6s vs 18s for the same minhash job in adjacent windows)
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0

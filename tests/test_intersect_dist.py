@@ -207,3 +207,30 @@ def test_dist_polygon_subjects_parity(spark):
     )
     assert len(a) == len(b) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dist_empty_zone_table_and_no_candidates(spark):
+    """Degenerate inputs: an empty zone table yields an empty result
+    with the full output schema; zones that overlap nothing yield
+    nothing (and a left join still keeps every row)."""
+    edges = _edges(spark, n=20)
+    empty_zdf = spark.createDataFrame(
+        pd.DataFrame({"zone_id": pd.Series([], dtype="object"),
+                      "geometry": pd.Series([], dtype="object")})
+    )
+    out = I.intersect_lines_with_zones(edges, empty_zdf, keep_geometry=False)
+    assert out.count() == 0
+    assert "zone_zone_id" in out.columns
+    far_zdf = ID.zones_to_df(
+        spark,
+        I.Zones.from_records(
+            [{"zone_id": "far",
+              "geometry": [np.array([[900.0, 900.0], [901.0, 900.0],
+                                     [901.0, 901.0], [900.0, 901.0]])]}]
+        ),
+    )
+    assert I.intersect_lines_with_zones(edges, far_zdf).count() == 0
+    lj = I.spatial_left_join_with_zones(edges, far_zdf)
+    pdf = lj.toPandas()
+    assert len(pdf) == 20
+    assert pdf["zone_zone_id"].isna().all()
