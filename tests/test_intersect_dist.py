@@ -214,10 +214,7 @@ def test_dist_empty_zone_table_and_no_candidates(spark):
     with the full output schema; zones that overlap nothing yield
     nothing (and a left join still keeps every row)."""
     edges = _edges(spark, n=20)
-    empty_zdf = spark.createDataFrame(
-        pd.DataFrame({"zone_id": pd.Series([], dtype="object"),
-                      "geometry": pd.Series([], dtype="object")})
-    )
+    empty_zdf = spark.createDataFrame([], "zone_id string, geometry binary")
     out = I.intersect_lines_with_zones(edges, empty_zdf, keep_geometry=False)
     assert out.count() == 0
     assert "zone_zone_id" in out.columns
