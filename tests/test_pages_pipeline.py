@@ -91,3 +91,62 @@ def test_pip_left_join_keeps_unmatched(spark):
 def test_text_match_flag_all_true(spark):
     out = P.pages_pipeline(spark, SF_SMOKE)
     assert out.filter("NOT text_match").count() == 0
+
+
+def test_stateful_streaming_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionization: per-user state crosses
+    micro-batches; a session closes when an over-gap event is observed
+    in a later batch.  Semantics match the batch twin
+    (events_sessionization): gap >= 30 min splits sessions."""
+    import pandas as pd
+
+    from osm_chordify_spark.streaming.sessionize_stream import sessionize_stream
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta("1 minute")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batch1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": [t0, t0 + 5 * m, t0],
+            "value": [1.0, 2.0, 10.0],
+        }
+    )
+    # user 1: 90-min gap closes session 1 inside the stream; user 2
+    # continues within-gap
+    batch2 = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "ts": [t0 + 95 * m, t0 + 10 * m],
+            "value": [4.0, 20.0],
+        }
+    )
+    for b, name in ((batch1, "b1"), (batch2, "b2")):
+        # Spark's parquet reader wants micro-precision timestamps
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        b.to_parquet(in_dir / f"{name}.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        sessionize_stream(stream, gap="30 minutes", watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from sessions").toPandas()
+    # user 1's first session (2 events, value 3.0) must have closed
+    u1 = out[out["user_id"] == 1]
+    assert len(u1) >= 1
+    s1 = u1.sort_values("session_start").iloc[0]
+    assert s1["n_events"] == 2
+    assert s1["total_value"] == 3.0
+    assert s1["session_end"] == t0 + 5 * m
