@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument(
+        "--snapshot-table", action="store_true",
+        help="write the output as a versioned snapshot table "
+        "(atomic manifest commit + time travel) instead of plain parquet",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("pages_pipeline").getOrCreate()
@@ -76,8 +81,15 @@ def main() -> None:
             F.sum(F.when(F.col("text_match"), 0).otherwise(1)).alias("text_mismatches"),
         ),
     )
-    rollup.write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"stages": ck.metrics()}, indent=2))
+    if args.snapshot_table:
+        # Iceberg-shaped sink: atomic manifest commit, versioned lineage
+        from osm_chordify_spark.sources.snapshot_table import write_snapshot
+
+        manifest = write_snapshot(rollup, args.output, mode="overwrite")
+        print(json.dumps({"snapshot": manifest, "stages": ck.metrics()}, indent=2))
+    else:
+        rollup.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"stages": ck.metrics()}, indent=2))
     mismatches = rollup.agg(F.sum("text_mismatches")).collect()[0][0]
     assert mismatches == 0, f"text parity violated: {mismatches} mismatches"
     spark.stop()

@@ -122,3 +122,35 @@ def test_pages_job_end_to_end_and_resume(spark, tmp_path):
     result = spark.read.parquet(out).toPandas()
     assert result["page_count"].sum() == 500
     assert result["text_mismatches"].sum() == 0
+
+
+def test_snapshot_table_versions_time_travel_and_torn_writes(spark, tmp_path):
+    """Versioned snapshot sink (north_star's Iceberg-shaped contract):
+    atomic manifest commits, append lineage, time travel, and torn
+    writes (data files without a manifest) invisible to readers."""
+    import os
+
+    import pandas as pd
+
+    from osm_chordify_spark.sources import snapshot_table as ST
+
+    tdir = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    m0 = ST.write_snapshot(df1, tdir, mode="overwrite")
+    assert m0["version"] == 0 and m0["row_count"] == 3
+    assert m0["partition_counts"]  # per-partition lineage recorded
+
+    df2 = spark.createDataFrame(pd.DataFrame({"k": [4, 5], "v": ["d", "e"]}))
+    m1 = ST.write_snapshot(df2, tdir, mode="append")
+    assert m1["version"] == 1 and m1["parent"] == 0
+    assert m1["row_count"] == 5 and m1["snapshot_rows"] == 2
+
+    assert ST.read_snapshot(spark, tdir).count() == 5
+    assert ST.read_snapshot(spark, tdir, version=0).count() == 3  # time travel
+    assert [h["version"] for h in ST.history(tdir)] == [0, 1]
+
+    # torn write: data lands but no manifest commit — readers unaffected
+    orphan = os.path.join(tdir, "data", "deadbeef0000")
+    df2.write.parquet(orphan)
+    assert ST.read_snapshot(spark, tdir).count() == 5
+    assert ST.latest_version(tdir) == 1
