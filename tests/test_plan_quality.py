@@ -1,0 +1,66 @@
+"""Physical-plan regression guards.
+
+These pin the plan PROPERTIES the engine's scale story depends on (and
+BENCH/PLANS.md documents), so a refactor can't silently regress them:
+pushdown + column pruning on scans, broadcast on dim sides, no shuffle
+on the fact side of the map-side spatial join."""
+
+import importlib.util
+import os
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+spec = importlib.util.spec_from_file_location(
+    "entry_for_plans", os.path.join(_REPO, "__spark_entry__.py")
+)
+entry_mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry_mod)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name) -> str:
+    df = entry_mod.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: the 16-column lineitem scan reads only what q1 needs
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_tpch_q3_broadcasts_dims(spark):
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert plan.count("BroadcastExchange") >= 2  # orders filter + customer dim
+
+
+def test_zone_intersect_fact_side_never_shuffles(spark):
+    """The broadcast spatial join is map-side: between the parquet scan
+    and the MapInPandas kernel there must be NO Exchange."""
+    plan = _plan(spark, "zone_intersect_lines")
+    kernel_pos = plan.index("MapInPandas")
+    pre_kernel = plan[kernel_pos:]  # everything BELOW the kernel in the tree
+    assert "Exchange" not in pre_kernel
+    assert "FileScan parquet" in pre_kernel
+
+
+def test_dist_zone_join_is_equi_join_plus_one_agg_shuffle(spark):
+    """The distributed path must be joins + ONE candidate aggregate
+    shuffle + ONE grouped-map repartition — no cartesian products, no
+    collect-driven plan nodes."""
+    plan = _plan(spark, "zone_intersect_lines_dist")
+    assert "CartesianProduct" not in plan
+    assert "REPARTITION_BY_COL" in plan  # the salted grouped-map shuffle
+    assert "hashpartitioning(__eid" in plan  # the candidate aggregate
+    assert "partial_count" in plan  # map-side combine on the containment agg
+
+
+def test_chordify_no_cartesian_and_arrow_only_python(spark):
+    plan = _plan(spark, "chordify_contraction")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time UDFs banned
