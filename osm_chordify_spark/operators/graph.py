@@ -193,12 +193,15 @@ def strongly_connected_components(
     parts: list[DataFrame] = []
 
     def retire(found_ids, arcs, verts):
+        # LAZY checkpoints: the n_arcs count / verts.isEmpty() that always
+        # follow a retire materialize these anyway — eager here just
+        # spent two extra driver-side jobs per phase
         arcs = (
             arcs.join(found_ids.withColumnRenamed("id", "a"), "a", "left_anti")
             .join(found_ids.withColumnRenamed("id", "b"), "b", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        verts = verts.join(found_ids, "id", "left_anti").localCheckpoint(eager=True)
+        verts = verts.join(found_ids, "id", "left_anti").localCheckpoint(eager=False)
         return arcs, verts
 
     n_arcs = arcs.count()
@@ -206,7 +209,7 @@ def strongly_connected_components(
         # ---- trim: peel sources/sinks — they are singleton SCCs.  Each
         # action materializes ``trim_batch`` lazily-chained peel steps
         # (lazy localCheckpoints share RDD stages, as in _min_label_prop)
-        trim_batch = 4
+        trim_batch = 6
         while True:
             for _ in range(trim_batch):
                 core = (
@@ -233,8 +236,11 @@ def strongly_connected_components(
         singles = verts.join(arc_verts, "id", "left_anti").select(
             "id", F.col("id").alias("component")
         )
-        parts.append(singles.localCheckpoint(eager=True))
-        verts = verts.join(arc_verts, "id", "left_semi").localCheckpoint(eager=True)
+        # lazy: derives only from checkpointed arcs/verts, so it stays
+        # valid and cheap after those are reassigned; the caller's final
+        # union action materializes it once
+        parts.append(singles.localCheckpoint(eager=False))
+        verts = verts.join(arc_verts, "id", "left_semi").localCheckpoint(eager=False)
         if verts.isEmpty():
             break
         color = _min_label_prop(arcs, **prop_kw)  # (id, label)
