@@ -900,6 +900,38 @@ def ann_cosine_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank")
 
 
+@register(
+    "ann_ivf_topk",
+    oracle="""
+with q as (select vec_id as query_id, cast(embedding as double[]) as qv
+           from embeddings where vec_id < 10),
+     v as (select vec_id, cast(embedding as double[]) as vv from embeddings)
+select query_id, vec_id, rank from (
+  select q.query_id, v.vec_id,
+         row_number() over (
+           partition by q.query_id
+           order by round(list_cosine_similarity(q.qv, v.vv), 6) desc, v.vec_id
+         ) as rank
+  from q cross join v where v.vec_id <> q.query_id
+) where rank <= 5
+""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF inverted-list ANN (coarse k-means quantizer, list equi-join,
+    exact re-rank).  Run here at nprobe == n_lists so the result is
+    provably EXACT and the full plumbing (quantizer training, list
+    assignment, probing, re-rank) is hash-gated against the brute-force
+    oracle; the approximate regime (nprobe < n_lists) is recall-tested
+    in pytest (test_ivf_topk_recall_and_exactness_at_full_probe)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = _ANN.ivf_topk(emb, queries, dim, k=5, n_lists=16, nprobe=16)
+    return out.select("query_id", "vec_id", "rank")
+
+
 @register("ann_lsh_topk")  # rows-only: approximate (recall < 1 by design)
 def ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")

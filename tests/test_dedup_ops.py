@@ -200,3 +200,28 @@ def test_embedding_cosine_dedup_exact_and_lsh_recall(spark):
 
     with pytest.raises(ValueError):
         embedding_cosine_pairs(df, method="exact", max_exact_rows=10)
+
+
+def test_ivf_topk_recall_and_exactness_at_full_probe(spark):
+    """IVF ANN: recall@5 >= 0.6 at nprobe=4/16 on the embeddings
+    fixture, and EXACT equality with brute force at nprobe == n_lists
+    (probing every list degrades gracefully to the exact search)."""
+    from osm_chordify_spark.operators.ann import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.limit(8).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = ivf_topk(emb, queries, dim, k=5, n_lists=16, nprobe=4).toPandas()
+    e_pairs = {tuple(r) for r in exact[["query_id", "vec_id"]].itertuples(index=False)}
+    a_pairs = {tuple(r) for r in approx[["query_id", "vec_id"]].itertuples(index=False)}
+    assert len(a_pairs & e_pairs) / len(e_pairs) >= 0.6
+
+    full = ivf_topk(emb, queries, dim, k=5, n_lists=16, nprobe=16).toPandas()
+    f = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    e = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        f[["query_id", "vec_id", "rank"]], e[["query_id", "vec_id", "rank"]]
+    )
