@@ -1507,3 +1507,145 @@ def projected_intersect_lengths(spark, sf_dir):
         "edge_osm_id", "zone_zone_id", "zone_link_length_m",
         "edge_link_length_m", "zone_edge_proportion",
     )
+
+
+# ---------------------------------------------------------------------------
+# raster ↔ vector (operators/raster.py — beyond-reference family named by
+# the north-star scope: tiled raster model over the page coordinate domain)
+
+_RASTER_CELLS_CTE = (
+    _PAGES_COORDS_CTE
+    + """
+, cells as (
+  select cast(floor((lon - (-13e1)) / 1e0) as bigint) as cx,
+         cast(floor((lat - 2e1) / 1e0) as bigint) as cy,
+         count(*) as v
+  from coords group by 1, 2
+)
+"""
+)
+
+
+def _pages_grid():
+    from osm_chordify_spark.operators.raster import GridSpec
+
+    return GridSpec(x0=-130.0, y0=20.0, dx=1.0, dy=1.0, tile=32)
+
+
+def _pages_density(spark, sf_dir):
+    from osm_chordify_spark.operators import raster as R
+
+    docs = _t(spark, sf_dir, "documents").select(
+        P.lon_col().alias("lon"), P.lat_col().alias("lat")
+    )
+    grid = _pages_grid()
+    return R.rasterize_points(docs, grid, "lon", "lat", stat="count"), grid
+
+
+@register(
+    "raster_point_density",
+    oracle=_RASTER_CELLS_CTE + "select cx as cell_x, cy as cell_y, v as n from cells",
+)
+def raster_point_density(spark, sf_dir):
+    """vector→raster→vector roundtrip: page coordinates binned into 1°
+    tiles (two-phase agg, JVM-side tile assembly), then unpivoted back
+    to long format — per-cell counts must match the plain SQL GROUP BY."""
+    from osm_chordify_spark.operators import raster as R
+
+    tiles, grid = _pages_density(spark, sf_dir)
+    cells = R.raster_cells(tiles, grid)
+    return cells.select(
+        "cell_x", "cell_y", F.col("value").cast("long").alias("n")
+    )
+
+
+@register(
+    "raster_zonal_stats",
+    oracle=_RASTER_CELLS_CTE
+    + """
+select concat('Z', cast(floor((cy + 5e-1) / 2e1) as int),
+              '_', cast(floor((cx + 5e-1) / 3e1) as int)) as zone_id,
+       count(*) as n_cells,
+       cast(sum(v) as bigint) as sum_value,
+       cast(min(v) as bigint) as min_value,
+       cast(max(v) as bigint) as max_value,
+       round(cast(sum(v) as double) / count(*), 4) as mean_value
+from cells group by 1
+""",
+)
+def raster_zonal_stats(spark, sf_dir):
+    """raster × vector: per-zone aggregates of the density raster via
+    the broadcast cell→zone index (per-tile partial aggregation; the
+    zone PIP on cell centers reduces to rect arithmetic in the oracle)."""
+    from osm_chordify_spark.operators import raster as R
+
+    tiles, grid = _pages_density(spark, sf_dir)
+    stats = R.zonal_stats(tiles, grid, P.make_zone_grid(), res=7)
+    return stats.select(
+        "zone_id",
+        "n_cells",
+        F.col("sum_value").cast("long").alias("sum_value"),
+        F.col("min_value").cast("long").alias("min_value"),
+        F.col("max_value").cast("long").alias("max_value"),
+        F.round("mean_value", 4).alias("mean_value"),
+    )
+
+
+@register(
+    "raster_resample_sum",
+    oracle=_RASTER_CELLS_CTE
+    + """
+select cast(floor(cx / 4) as bigint) as cell_x,
+       cast(floor(cy / 4) as bigint) as cell_y,
+       cast(sum(v) as bigint) as n
+from cells group by 1, 2
+""",
+)
+def raster_resample_sum(spark, sf_dir):
+    """raster→raster: 4× block-sum coarsening of the density raster
+    (present-cells-only contract) back out through raster_cells."""
+    from osm_chordify_spark.operators import raster as R
+
+    tiles, grid = _pages_density(spark, sf_dir)
+    coarse, cgrid = R.resample(tiles, grid, factor=4, stat="sum")
+    cells = R.raster_cells(coarse, cgrid)
+    return cells.select(
+        "cell_x", "cell_y", F.col("value").cast("long").alias("n")
+    )
+
+
+@register(
+    "raster_vectorize_regions",
+    oracle="""
+select cast(r * 4 + c + 1 as bigint) as zone_value,
+       cast(600 as bigint) as n_cells,
+       cast(600 as double) as area,
+       cast(c * 30 as bigint) as min_cell_x,
+       cast(r * 20 as bigint) as min_cell_y,
+       cast(c * 30 + 29 as bigint) as max_cell_x,
+       cast(r * 20 + 19 as bigint) as max_cell_y
+from generate_series(0, 2) t(r), generate_series(0, 3) u(c)
+""",
+)
+def raster_vectorize_regions(spark, sf_dir):
+    """raster→vector region extraction end-to-end: burn the 12-zone TAZ
+    grid into 1° tiles (vector→raster), then recover the rectangles via
+    distributed two-phase connected-component labeling (tile-local
+    union-find + global label-graph CC).  The 30×20-cell rectangles are
+    arithmetic, so the full CC pipeline is oracle-checkable here; the
+    general (non-SQL-expressible) semantics are pytest-covered against
+    a BFS reference in test_raster.py."""
+    from osm_chordify_spark.operators import raster as R
+
+    grid = _pages_grid()
+    tiles = R.rasterize_zones(spark, P.make_zone_grid(), grid, res=7)
+    regions = R.vectorize_regions(tiles, grid)
+    return regions.select(
+        F.col("value").cast("long").alias("zone_value"),
+        "n_cells",
+        "area",
+        "min_cell_x",
+        "min_cell_y",
+        "max_cell_x",
+        "max_cell_y",
+    )

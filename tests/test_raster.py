@@ -1,0 +1,279 @@
+"""Raster↔vector operator tests: brute-force NumPy parity + roundtrips."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_chordify_spark import geom as G
+from osm_chordify_spark.operators import pages as P
+from osm_chordify_spark.operators.raster import (
+    GridSpec,
+    raster_cells,
+    rasterize_points,
+    rasterize_zones,
+    resample,
+    vectorize_regions,
+    zonal_stats,
+)
+
+GRID = GridSpec(x0=-10.0, y0=-5.0, dx=0.5, dy=0.5, tile=16)
+
+
+def _points(spark, n=5000, seed=7):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "x": rng.uniform(-10.0, 10.0, n),
+            "y": rng.uniform(-5.0, 5.0, n),
+            "v": rng.uniform(0.0, 100.0, n).round(3),
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def _cells_brute(pdf, grid, stat="count"):
+    cx = np.floor((pdf["x"] - grid.x0) / grid.dx).astype(np.int64)
+    cy = np.floor((pdf["y"] - grid.y0) / grid.dy).astype(np.int64)
+    d = pd.DataFrame({"cx": cx, "cy": cy, "v": pdf["v"]})
+    agg = {"count": "size", "sum": "sum", "mean": "mean", "min": "min", "max": "max"}[
+        stat
+    ]
+    return d.groupby(["cx", "cy"])["v"].agg(agg).astype(float)
+
+
+@pytest.mark.parametrize("stat", ["count", "sum", "max"])
+def test_rasterize_points_matches_brute_force(spark, stat):
+    df, pdf = _points(spark)
+    tiles = rasterize_points(df, GRID, "x", "y", value_col="v", stat=stat)
+    got = (
+        raster_cells(tiles, GRID)
+        .toPandas()
+        .set_index(["cell_x", "cell_y"])["value"]
+        .sort_index()
+    )
+    exp = _cells_brute(pdf, GRID, stat).sort_index()
+    exp = exp[exp != 0.0]  # drop_zero convention
+    assert len(got) == len(exp)
+    assert np.allclose(got.to_numpy(), exp.to_numpy(), rtol=1e-12)
+
+
+def test_raster_cells_roundtrip_identity(spark):
+    """cells → tiles → cells is the identity on non-zero cells."""
+    df, pdf = _points(spark, n=800, seed=3)
+    tiles = rasterize_points(df, GRID, "x", "y")
+    cells = raster_cells(tiles, GRID).toPandas()
+    again = rasterize_points(
+        spark.createDataFrame(cells).select(
+            (F.lit(GRID.x0) + (F.col("cell_x") + 0.5) * GRID.dx).alias("x"),
+            (F.lit(GRID.y0) + (F.col("cell_y") + 0.5) * GRID.dy).alias("y"),
+            F.col("value").alias("v"),
+        ),
+        GRID,
+        "x",
+        "y",
+        value_col="v",
+        stat="sum",
+    )
+    back = raster_cells(again, GRID).toPandas()
+    a = cells.sort_values(["cell_x", "cell_y"]).reset_index(drop=True)
+    b = back.sort_values(["cell_x", "cell_y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_resample_matches_brute_force(spark):
+    df, pdf = _points(spark)
+    tiles = rasterize_points(df, GRID, "x", "y", value_col="v", stat="sum")
+    coarse, cgrid = resample(tiles, GRID, factor=4, stat="sum")
+    assert cgrid.dx == GRID.dx * 4
+    got = (
+        raster_cells(coarse, cgrid)
+        .toPandas()
+        .set_index(["cell_x", "cell_y"])["value"]
+        .sort_index()
+    )
+    fine = _cells_brute(pdf, GRID, "sum")
+    idx = fine.index.to_frame(index=False)
+    exp = (
+        pd.DataFrame(
+            {
+                "cx": np.floor(idx["cx"] / 4).astype(np.int64),
+                "cy": np.floor(idx["cy"] / 4).astype(np.int64),
+                "v": fine.to_numpy(),
+            }
+        )
+        .groupby(["cx", "cy"])["v"]
+        .sum()
+        .sort_index()
+    )
+    assert len(got) == len(exp)
+    assert np.allclose(got.to_numpy(), exp.to_numpy(), rtol=1e-12)
+
+
+def test_zonal_stats_matches_brute_force_pip(spark):
+    """Polygon (triangle) zones — exercises the exact winding-number
+    refinement, not just rectangle arithmetic."""
+    df, pdf = _points(spark)
+    tiles = rasterize_points(df, GRID, "x", "y", value_col="v", stat="sum")
+    tri1 = np.array([[-9.0, -4.0], [9.0, -4.0], [0.0, 4.5]])
+    tri2 = np.array([[-9.5, 0.0], [-2.0, 4.0], [-9.5, 4.5]])
+    zones = [("tri1", [tri1]), ("tri2", [tri2])]
+    got = zonal_stats(tiles, GRID, zones).toPandas().set_index("zone_id").sort_index()
+
+    fine = _cells_brute(pdf, GRID, "sum")
+    idx = fine.index.to_frame(index=False)
+    cxw = GRID.x0 + (idx["cx"].to_numpy() + 0.5) * GRID.dx
+    cyw = GRID.y0 + (idx["cy"].to_numpy() + 0.5) * GRID.dy
+    vals = fine.to_numpy()
+    for zid, rings in zones:
+        inside = G.point_in_polygon(cxw, cyw, rings)
+        sel = vals[inside & (vals != 0.0)]
+        row = got.loc[zid]
+        assert row["n_cells"] == len(sel)
+        assert np.isclose(row["sum_value"], sel.sum(), rtol=1e-12)
+        assert np.isclose(row["min_value"], sel.min())
+        assert np.isclose(row["max_value"], sel.max())
+        assert np.isclose(row["mean_value"], sel.mean(), rtol=1e-12)
+
+
+def test_rasterize_zones_rectangles(spark):
+    """Rect zones burn exactly the cells whose centers are inside."""
+    zones = [
+        ("A", [np.array([[-2.0, -2.0], [3.0, -2.0], [3.0, 1.0], [-2.0, 1.0]])]),
+        ("B", [np.array([[4.0, 2.0], [6.0, 2.0], [6.0, 4.0], [4.0, 4.0]])]),
+    ]
+    tiles = rasterize_zones(spark, zones, GRID)
+    cells = raster_cells(tiles, GRID).toPandas()
+    cxw = GRID.x0 + (cells["cell_x"] + 0.5) * GRID.dx
+    cyw = GRID.y0 + (cells["cell_y"] + 0.5) * GRID.dy
+    a = cells["value"] == 1.0
+    b = cells["value"] == 2.0
+    assert a.sum() == (5 / 0.5) * (3 / 0.5)  # 10 × 6 cells
+    assert b.sum() == (2 / 0.5) * (2 / 0.5)
+    assert ((cxw[a] > -2) & (cxw[a] < 3) & (cyw[a] > -2) & (cyw[a] < 1)).all()
+    assert ((cxw[b] > 4) & (cxw[b] < 6) & (cyw[b] > 2) & (cyw[b] < 4)).all()
+    assert len(cells) == a.sum() + b.sum()
+
+
+def _brute_regions(cells: pd.DataFrame):
+    """BFS 4-connected components of equal value (independent oracle)."""
+    vals = {
+        (int(r.cell_x), int(r.cell_y)): float(r.value) for r in cells.itertuples()
+    }
+    seen = set()
+    out = []
+    for start in sorted(vals):
+        if start in seen:
+            continue
+        v = vals[start]
+        stack, comp = [start], []
+        seen.add(start)
+        while stack:
+            cx, cy = stack.pop()
+            comp.append((cx, cy))
+            for nx, ny in ((cx + 1, cy), (cx - 1, cy), (cx, cy + 1), (cx, cy - 1)):
+                if (nx, ny) not in seen and vals.get((nx, ny)) == v:
+                    seen.add((nx, ny))
+                    stack.append((nx, ny))
+        xs = [c[0] for c in comp]
+        ys = [c[1] for c in comp]
+        out.append((v, len(comp), min(xs), min(ys), max(xs), max(ys)))
+    return sorted(out)
+
+
+def test_vectorize_regions_matches_bfs(spark):
+    """Random blobby raster spanning many tiles: region count, sizes and
+    bboxes must match a driver-side BFS labeling exactly."""
+    rng = np.random.default_rng(11)
+    # coarse value field sampled down → contiguous same-value patches
+    coarse = rng.integers(0, 4, size=(12, 12)).astype(float)
+    full = np.kron(coarse, np.ones((6, 6)))  # 72×72 cells over 16-cell tiles
+    ys, xs = np.nonzero(full)
+    pdf = pd.DataFrame(
+        {"cell_x": xs - 30, "cell_y": ys - 20, "value": full[ys, xs]}
+    )
+    pts = spark.createDataFrame(pdf).select(
+        (F.lit(GRID.x0) + (F.col("cell_x") + 0.5) * GRID.dx).alias("x"),
+        (F.lit(GRID.y0) + (F.col("cell_y") + 0.5) * GRID.dy).alias("y"),
+        F.col("value").alias("v"),
+    )
+    tiles = rasterize_points(pts, GRID, "x", "y", value_col="v", stat="max")
+    got = vectorize_regions(tiles, GRID).toPandas()
+    got_t = sorted(
+        (
+            float(r.value),
+            int(r.n_cells),
+            int(r.min_cell_x),
+            int(r.min_cell_y),
+            int(r.max_cell_x),
+            int(r.max_cell_y),
+        )
+        for r in got.itertuples()
+    )
+    assert got_t == _brute_regions(pdf)
+    # region ids are distinct and area = n_cells * cell area
+    assert got["region_id"].is_unique
+    assert np.allclose(got["area"], got["n_cells"] * GRID.dx * GRID.dy)
+
+
+def test_vectorize_boundary_roundtrip_rectangles(spark):
+    """rasterize_zones(rects) → vectorize(boundary=True) recovers the
+    exact rectangles as WKB polygons."""
+    zones = [
+        ("A", [np.array([[-2.0, -2.0], [3.0, -2.0], [3.0, 1.0], [-2.0, 1.0]])]),
+        ("B", [np.array([[4.0, 2.0], [6.0, 2.0], [6.0, 4.0], [4.0, 4.0]])]),
+    ]
+    tiles = rasterize_zones(spark, zones, GRID)
+    got = vectorize_regions(tiles, GRID, boundary=True).toPandas()
+    assert len(got) == 2
+    by_val = {float(r.value): r for r in got.itertuples()}
+    for val, (x0, y0, x1, y1) in [(1.0, (-2, -2, 3, 1)), (2.0, (4, 2, 6, 4))]:
+        polys = G.geometry_polygons(bytes(by_val[val].geometry))
+        assert len(polys) == 1 and len(polys[0]) == 1  # one ring, no holes
+        ring = polys[0][0]  # WKB round-trip closes the ring
+        assert set(map(tuple, ring)) == {(x0, y0), (x1, y0), (x1, y1), (x0, y1)}
+        assert np.isclose(abs(G.shoelace_area(ring)), (x1 - x0) * (y1 - y0))
+
+
+def test_vectorize_boundary_donut_hole(spark):
+    """A ring-shaped region must come back as outer ring + hole."""
+    # 8×8 block with a 4×4 hole in the middle, straddling tile lines
+    cells = []
+    for cx in range(12, 20):
+        for cy in range(12, 20):
+            if not (14 <= cx < 18 and 14 <= cy < 18):
+                cells.append((cx, cy, 5.0))
+    pdf = pd.DataFrame(cells, columns=["cell_x", "cell_y", "value"])
+    pts = spark.createDataFrame(pdf).select(
+        (F.lit(GRID.x0) + (F.col("cell_x") + 0.5) * GRID.dx).alias("x"),
+        (F.lit(GRID.y0) + (F.col("cell_y") + 0.5) * GRID.dy).alias("y"),
+        F.col("value").alias("v"),
+    )
+    tiles = rasterize_points(pts, GRID, "x", "y", value_col="v", stat="max")
+    got = vectorize_regions(tiles, GRID, boundary=True).toPandas()
+    assert len(got) == 1
+    polys = G.geometry_polygons(bytes(got["geometry"].iloc[0]))
+    assert len(polys) == 1 and len(polys[0]) == 2  # outer + hole
+    outer, hole = polys[0]
+    assert np.isclose(abs(G.shoelace_area(outer)), (8 * 0.5) ** 2)
+    assert np.isclose(abs(G.shoelace_area(hole)), (4 * 0.5) ** 2)
+    assert int(got["n_cells"].iloc[0]) == 64 - 16
+
+
+def test_vectorize_boundary_cap_raises(spark):
+    df, _ = _points(spark, n=400, seed=5)
+    tiles = rasterize_points(df, GRID, "x", "y")
+    with pytest.raises(Exception, match="max_boundary_cells"):
+        vectorize_regions(tiles, GRID, boundary=True, max_boundary_cells=1).toPandas()
+
+
+def test_pages_density_grid_negative_tiles(spark):
+    """Grid anchored so cells/tiles go negative — floor/pmod math holds."""
+    grid = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, tile=8)
+    pdf = pd.DataFrame({"x": [-0.5, -8.5, 0.5, 7.5], "y": [-0.5, -8.5, 0.5, -0.5]})
+    pdf["v"] = 1.0
+    tiles = rasterize_points(spark.createDataFrame(pdf), grid, "x", "y")
+    cells = raster_cells(tiles, grid).toPandas()
+    got = set(map(tuple, cells[["cell_x", "cell_y"]].to_numpy()))
+    assert got == {(-1, -1), (-9, -9), (0, 0), (7, -1)}
+    assert (cells["value"] == 1.0).all()
