@@ -284,25 +284,25 @@ def export_network(
     Graph formats (from scratch, no GDAL/OSMnx/libosmium):
     ``graphml`` (sources/export_formats.save_graphml), ``gpkg``
     (stdlib-sqlite GeoPackage), ``geojson`` (edge FeatureCollection),
-    ``osm`` (sources/osm_xml.save_graph_xml), ``pkl`` (driver-side,
-    row-guarded).  ``pbf`` is NOT supported: the protobuf container
-    needs libosmium-grade machinery (reference export.py:149-156 uses
-    pyosmium), absent from this environment by policy — passing it
-    raises with this explanation."""
+    ``osm`` (sources/osm_xml.save_graph_xml), ``pbf``
+    (sources/osm_pbf.save_graph_pbf — pure-Python protobuf codec,
+    distributed blob encode; the reference shells out to pyosmium,
+    export.py:149-156), ``pkl`` (driver-side, row-guarded)."""
     import os
 
     from osm_chordify_spark.sources import export_formats as XF
+    from osm_chordify_spark.sources.osm_pbf import save_graph_pbf
     from osm_chordify_spark.sources.osm_xml import save_graph_xml
 
     out = {}
     for fmt in formats:
         if fmt == "pbf":
-            raise NotImplementedError(
-                "PBF export requires pyosmium/libosmium (reference "
-                "export.py:149-156), unavailable here; use 'osm' (XML) "
-                "and convert externally"
+            p = os.path.join(output_dir, f"{name}.osm.pbf")
+            out[fmt] = save_graph_pbf(
+                nodes, edges, p, edge_tags=edge_tags,
+                edge_tag_aggs=edge_tag_aggs,
             )
-        if fmt == "graphml":
+        elif fmt == "graphml":
             p = os.path.join(output_dir, f"{name}.graphml")
             out[fmt] = XF.save_graphml(nodes, edges, p)
         elif fmt == "geojson":

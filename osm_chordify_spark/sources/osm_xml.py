@@ -89,12 +89,13 @@ def _order_way_nodes(rows: list[dict]) -> list:
             return [rows[0]["u"], rows[0]["v"]]
 
 
-def _way_xml(way_id, rows: list[dict], edge_tags, edge_tag_aggs) -> str:
+def way_tag_items(rows: list[dict], edge_tags, edge_tag_aggs) -> list:
+    """The way-level tag contract shared by the XML and PBF sinks:
+    non-aggregated tags from the first member edge (oneway normalized
+    True/False → yes/no), then aggregated numeric tags with the
+    reference's trimmed formatting (xml.py:346-351)."""
     first = rows[0]
-    attrs = {"id": str(way_id), **_FIXED_ATTRS}
-    parts = ["  <way " + " ".join(f'{k}={quoteattr(v)}' for k, v in attrs.items()) + ">"]
-    for n in _order_way_nodes(rows):
-        parts.append(f'    <nd ref={quoteattr(str(n))}/>')
+    items = []
     agg_keys = {t for t, _ in (edge_tag_aggs or [])}
     for tag in edge_tags:
         if tag in agg_keys:
@@ -104,15 +105,23 @@ def _way_xml(way_id, rows: list[dict], edge_tags, edge_tag_aggs) -> str:
             continue
         if tag == "oneway":
             v = {"False": "no", "True": "yes"}.get(str(v), str(v))
-        parts.append(f"    <tag k={quoteattr(tag)} v={quoteattr(str(v))}/>")
+        items.append((tag, str(v)))
     for tag, agg in edge_tag_aggs or []:
         vals = [r.get(tag) for r in rows if r.get(tag) is not None]
         if not vals:
             continue
         s = pd.Series(vals)
-        parts.append(
-            f"    <tag k={quoteattr(tag)} v={quoteattr(_fmt_agg(s.aggregate(agg)))}/>"
-        )
+        items.append((tag, _fmt_agg(s.aggregate(agg))))
+    return items
+
+
+def _way_xml(way_id, rows: list[dict], edge_tags, edge_tag_aggs) -> str:
+    attrs = {"id": str(way_id), **_FIXED_ATTRS}
+    parts = ["  <way " + " ".join(f'{k}={quoteattr(v)}' for k, v in attrs.items()) + ">"]
+    for n in _order_way_nodes(rows):
+        parts.append(f'    <nd ref={quoteattr(str(n))}/>')
+    for k, v in way_tag_items(rows, edge_tags, edge_tag_aggs):
+        parts.append(f"    <tag k={quoteattr(k)} v={quoteattr(v)}/>")
     parts.append("  </way>")
     return "\n".join(parts)
 
@@ -266,7 +275,12 @@ def graph_from_xml(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
     """(nodes, ways) DataFrames from OSM XML — nodes(node_id, x, y,
     tags), ways(way_id, nodes, tags); the graph-build entry the
     reference feeds from its Overpass-like JSON."""
-    elems = read_osm_xml(spark, path)
+    return elements_to_graph(read_osm_xml(spark, path))
+
+
+def elements_to_graph(elems: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Element model → (nodes, ways) frames; shared by the XML and PBF
+    sources."""
     nodes = elems.filter(F.col("type") == "node").select(
         F.col("id").alias("node_id"),
         F.col("lon").alias("x"),

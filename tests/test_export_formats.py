@@ -93,16 +93,21 @@ def test_gpkg_is_a_real_geopackage(graph, tmp_path):
     con.close()
 
 
-def test_export_network_fanout_and_pbf_refusal(spark, graph, tmp_path):
+def test_export_network_fanout_including_pbf(spark, graph, tmp_path):
     nodes, edges = graph
     out = api.export_network(
-        nodes, edges, str(tmp_path), formats=("graphml", "geojson", "gpkg", "pkl")
+        nodes, edges, str(tmp_path),
+        formats=("graphml", "geojson", "gpkg", "pkl", "pbf"),
     )
-    assert set(out) == {"graphml", "geojson", "gpkg", "pkl"}
+    assert set(out) == {"graphml", "geojson", "gpkg", "pkl", "pbf"}
     import pickle
 
     with open(out["pkl"], "rb") as fh:
         bundle = pickle.load(fh)
     assert len(bundle["edges"]) == 2
-    with pytest.raises(NotImplementedError, match="pyosmium"):
-        api.export_network(nodes, edges, str(tmp_path), formats=("pbf",))
+
+    from osm_chordify_spark.sources.osm_pbf import read_osm_pbf
+
+    elems = read_osm_pbf(spark, out["pbf"]).toPandas()
+    assert (elems["type"] == "node").sum() == 3
+    assert (elems["type"] == "way").sum() == 2
