@@ -155,11 +155,69 @@ def connected_components(
     return labels.select("id", F.col("label").alias("component"))
 
 
+def _scc_local(arcs_pdf, verts) -> "pd.DataFrame":
+    """Iterative Tarjan over a driver-side arc list — the small-graph
+    fast path of strongly_connected_components.  Component id = min
+    vertex id of the SCC (same contract as the distributed path)."""
+    succ: dict = {}
+    for a, b in zip(arcs_pdf["a"], arcs_pdf["b"]):
+        succ.setdefault(int(a), []).append(int(b))
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    comp: dict = {}
+    counter = 0
+    for root in verts:
+        if root in index:
+            continue
+        # explicit work stack: (vertex, iterator position)
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            children = succ.get(v, [])
+            for i in range(pi, len(children)):
+                w = children[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            if work:  # propagate lowlink to the parent frame
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return pd.DataFrame(
+        {"id": list(comp.keys()), "component": list(comp.values())}
+    )
+
+
 def strongly_connected_components(
     pairs: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_phases: int = 25,
+    max_local_arcs: int = 1_000_000,
     **prop_kw,
 ) -> DataFrame:
     """Strongly connected components → (id, component) where component
@@ -190,6 +248,22 @@ def strongly_connected_components(
         .localCheckpoint(eager=True)
     )
     arcs = arcs0.localCheckpoint(eager=True)
+
+    # Small-graph dispatch: the iterative coloring loop costs tens of
+    # driver-scheduled jobs regardless of data volume — on a graph that
+    # fits the driver comfortably, Tarjan runs in milliseconds.  Same
+    # philosophy as broadcast-vs-shuffle join selection; the distributed
+    # path is exercised by forcing max_local_arcs=0 in tests.
+    if max_local_arcs > 0:
+        local = arcs.limit(max_local_arcs + 1).toPandas()
+        if len(local) <= max_local_arcs:
+            spark = pairs.sparkSession
+            vert_ids = sorted(int(r[0]) for r in verts.collect())
+            out = _scc_local(local, vert_ids)
+            if len(out) == 0:
+                return spark.createDataFrame([], schema="id long, component long")
+            return spark.createDataFrame(out)
+
     parts: list[DataFrame] = []
 
     def retire(found_ids, arcs, verts):

@@ -78,7 +78,10 @@ def test_largest_component_matches_networkx(spark, random_multigraph):
     assert set(ke_p["u"]) <= mine
 
 
-def test_strong_components_match_networkx(spark, random_multigraph):
+@pytest.mark.parametrize("max_local_arcs", [1_000_000, 0])
+def test_strong_components_match_networkx(spark, random_multigraph, max_local_arcs):
+    """Both SCC paths — driver Tarjan (small-graph dispatch) and the
+    distributed Orzan coloring (max_local_arcs=0) — match NetworkX."""
     g = nx.DiGraph()
     g.add_edges_from(random_multigraph[["u", "v"]].itertuples(index=False))
     nx_scc = {}
@@ -90,7 +93,7 @@ def test_strong_components_match_networkx(spark, random_multigraph):
         random_multigraph.rename(columns={"u": "src", "v": "dst"})[["src", "dst"]]
     )
     mine = (
-        GR.strongly_connected_components(pairs)
+        GR.strongly_connected_components(pairs, max_local_arcs=max_local_arcs)
         .toPandas()
         .set_index("id")["component"]
         .to_dict()
