@@ -158,6 +158,8 @@ def run_relational(spark: SparkSession, sf_dir: str) -> dict:
         "minhash_lsh_dedup",
         "ann_cosine_topk",
         "text_analysis",
+        "raster_zonal_stats",
+        "raster_vectorize_regions",
     )
     qs = m.queries()
     heavy = {
