@@ -1649,3 +1649,66 @@ def raster_vectorize_regions(spark, sf_dir):
         "max_cell_x",
         "max_cell_y",
     )
+
+
+# ---------------------------------------------------------------------------
+# hierarchical cell-set compression (H3 compact/uncompact analog)
+
+
+def _compact_oracle() -> str:
+    from osm_chordify_spark.functions.cells import cell_parent_sql
+
+    par = cell_parent_sql("cell")
+    sql = _PAGES_COORDS_CTE.rstrip() + f""",
+l10 as (select distinct {cell_sql('lon', 'lat', 10)} as cell from coords)"""
+    prev = "l10"
+    union = []
+    for r in (10, 9, 8):
+        sql += f""",
+p{r} as (select cell, {par} as par from {prev}),
+f{r} as (select par from p{r} group by par having count(*) = 4),
+k{r} as (select cell from p{r} where par not in (select par from f{r})),
+l{r - 1} as (select par as cell from f{r})"""
+        prev = f"l{r - 1}"
+        union.append(f"select cell from k{r}")
+    union.append("select cell from l7")
+    return sql + "\nselect cell, cell >> 58 as res from (" + " union all ".join(union) + ")"
+
+
+def _pages_cells10(spark, sf_dir):
+    from osm_chordify_spark.functions.cells import cell_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        cell_expr(P.lon_col(), P.lat_col(), 10).alias("cell")
+    ).distinct()
+
+
+@register("cell_compact", oracle=_compact_oracle())
+def cell_compact(spark, sf_dir):
+    """H3-compact analog over the hierarchical quadkey index: complete
+    4-sibling groups of the pages' res-10 cells collapse to parents down
+    to res 7 — one codegen aggregate shuffle per level.  The oracle
+    replays the identical promotion rounds as chained SQL CTEs."""
+    from osm_chordify_spark.functions.cells import compact_cells
+
+    cells = _pages_cells10(spark, sf_dir)
+    out = compact_cells(cells, min_res=7)
+    return out.select("cell", F.shiftright("cell", 58).alias("res"))
+
+
+@register(
+    "cell_uncompact_roundtrip",
+    oracle=_PAGES_COORDS_CTE
+    + f"""
+select distinct {cell_sql('lon', 'lat', 10)} as cell from coords
+""",
+)
+def cell_uncompact_roundtrip(spark, sf_dir):
+    """uncompact(compact(S)) == S for a single-resolution set S: the
+    roundtrip must reproduce the original res-10 cell set exactly (the
+    oracle is simply that original set)."""
+    from osm_chordify_spark.functions.cells import compact_cells, uncompact_cells
+
+    cells = _pages_cells10(spark, sf_dir)
+    return uncompact_cells(compact_cells(cells, min_res=7), 10)

@@ -80,3 +80,41 @@ def test_cover_bbox_max_cells_guard():
 def test_res_out_of_range():
     with pytest.raises(ValueError):
         ci.cell_at([0], [0], 21)
+
+
+def test_compact_uncompact_cells(spark):
+    """compact merges complete sibling groups recursively (cascade
+    across levels); uncompact is its exact inverse on single-res sets."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osm_chordify_spark.functions.cells import compact_cells, uncompact_cells
+
+    # a full res-2 subtree expressed at res 4 (16 grandchildren per
+    # res-3 child -> cascades 4->3->2), plus one lone res-4 cell
+    full = []
+    for ix in range(4, 8):
+        for iy in range(8, 12):
+            full.append(int(ci.make_cell(4, np.int64(ix), np.int64(iy))))
+    lone = int(ci.make_cell(4, np.int64(0), np.int64(0)))
+    df = spark.createDataFrame(pd.DataFrame({"cell": full + [lone]}))
+    got = set(r.cell for r in compact_cells(df, min_res=0).collect())
+    root = int(ci.make_cell(2, np.int64(1), np.int64(2)))
+    assert got == {root, lone}
+
+    # min_res floor stops the cascade
+    got3 = compact_cells(df, min_res=3).toPandas()
+    assert set(got3["cell"]) == {
+        int(ci.make_cell(3, np.int64(x), np.int64(y)))
+        for x in (2, 3) for y in (4, 5)
+    } | {lone}
+
+    # roundtrip identity at the original resolution
+    back = uncompact_cells(compact_cells(df, min_res=0), 4).toPandas()
+    assert sorted(back["cell"]) == sorted(full + [lone])
+
+    # cells finer than the target resolution are dropped, coarser explode
+    mixed = spark.createDataFrame(pd.DataFrame({"cell": [root, lone]}))
+    up = uncompact_cells(mixed, 3).toPandas()
+    assert len(up) == 4  # root -> 4 children; lone (res 4) dropped
+    assert (np.array([c >> 58 for c in up["cell"]]) == 3).all()
