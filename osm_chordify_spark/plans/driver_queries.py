@@ -1712,3 +1712,54 @@ def cell_uncompact_roundtrip(spark, sf_dir):
 
     cells = _pages_cells10(spark, sf_dir)
     return uncompact_cells(compact_cells(cells, min_res=7), 10)
+
+
+@register(
+    "dissolve_nation_regions",
+    oracle="""
+with rects as (
+  select s_nationkey,
+         cast((s_suppkey * 11) % 16 as int) as x2,
+         cast((s_suppkey * 13) % 16 as int) as y2
+  from supplier
+), cells as (
+  select distinct s_nationkey, x2 + i.i as cx, y2 + j.j as cy
+  from rects, generate_series(0, 3) i(i), generate_series(0, 3) j(j)
+)
+select s_nationkey,
+       (select count(*) from rects r where r.s_nationkey = c.s_nationkey) as n_polys,
+       cast(round(count(*) * 25e-2, 2) as double) as union_area
+from cells c group by s_nationkey
+""",
+)
+def dissolve_nation_regions(spark, sf_dir):
+    """The dissolve OPERATOR (operators/dissolve.py — attribute-grouped
+    boolean union, the GeoPandas-dissolve analog of the reference's
+    county-union step, utils/geo.py:153-201) over supplier-derived
+    rectangles: per nation, all rects union into one multipolygon.
+    Checked columns: polygon count + exact lattice union area (the WKB
+    geometry itself is pytest-verified in test_dissolve)."""
+    from osm_chordify_spark.operators.dissolve import dissolve
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        (F.expr("(s_suppkey * 11) % 16") / F.lit(2.0)).alias("xs"),
+        (F.expr("(s_suppkey * 13) % 16") / F.lit(2.0)).alias("ys"),
+    )
+
+    @F.pandas_udf("binary")
+    def mk_rect(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _G.wkb_polygon(
+                    [np.array([[x, y], [x + 2.0, y], [x + 2.0, y + 2.0], [x, y + 2.0]])]
+                )
+                for x, y in zip(xs, ys)
+            ]
+        )
+
+    rects = supp.select("s_nationkey", mk_rect("xs", "ys").alias("geometry"))
+    out = dissolve(rects, "s_nationkey")
+    return out.select(
+        "s_nationkey", "n_polys", F.round("union_area", 2).alias("union_area")
+    )

@@ -33,8 +33,11 @@ across executors — each task seeks into the shared file path — so a
 50 GB planet file decodes with cluster parallelism, which the
 reference's single-threaded pyosmium pass cannot do.
 
-Coordinates: granularity 100 ⇒ stored unit = 1e-7 degrees, exactly the
-XML sink's 7-dp contract, so XML↔PBF roundtrips are value-identical.
+Coordinates: granularity 100 ⇒ stored unit = 1e-7 degrees, the XML
+sink's 7-dp contract.  (Caveat: PBF quantizes via Spark F.round —
+HALF_UP — while the XML sink's ``f"{v:.7f}"`` is round-half-even, so a
+coordinate sitting EXACTLY on a 5e-8 tie may differ by 1e-7 between the
+two sinks; real coordinates never sit on exact binary ties.)
 """
 
 from __future__ import annotations
