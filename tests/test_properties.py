@@ -110,3 +110,68 @@ def test_wkb_roundtrip_property(pts):
     kind, back = G.parse_wkb(G.wkb_linestring(line))
     assert kind == "linestring"
     assert np.allclose(back, line)
+
+
+# ---------------------------------------------------------------------------
+# OSM PBF wire codec (sources/osm_pbf.py) — pure-Python, no Spark needed
+
+from osm_chordify_spark.sources import osm_pbf as B  # noqa: E402
+
+i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+u64 = st.integers(min_value=0, max_value=2**64 - 1)
+
+
+@settings(max_examples=300, deadline=None)
+@given(u64)
+def test_varint_roundtrip(n):
+    buf = B.enc_varint(n)
+    val, pos = B.dec_varint(buf, 0)
+    assert val == n and pos == len(buf)
+
+
+@settings(max_examples=300, deadline=None)
+@given(i64)
+def test_zigzag_roundtrip(n):
+    assert B.zz_dec(B.zz_enc(n)) == n
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=50))
+def test_packed_sint_delta_roundtrip(vals):
+    enc = B.enc_packed_sint_delta(8, vals)
+    fields = list(B.iter_fields(enc))
+    assert len(fields) == 1 and fields[0][0] == 8
+    assert B.dec_packed_sint_delta(fields[0][2]).tolist() == vals
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),     # id
+            st.integers(min_value=-900000000, max_value=900000000),   # lat 1e-7
+            st.integers(min_value=-1800000000, max_value=1800000000), # lon 1e-7
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_dense_nodes_block_roundtrip(nodes):
+    """Encode a DenseNodes PrimitiveBlock, decode it back: ids and
+    quantized coordinates survive exactly."""
+    st_tab = B._StringTable()
+    ids = [n[0] for n in nodes]
+    lats = [n[1] for n in nodes]
+    lons = [n[2] for n in nodes]
+    group = B._dense_nodes_group(ids, lats, lons, [[] for _ in nodes])
+    blob = B._frame_blob("OSMData", B._block([group], st_tab))
+    import struct as _s
+
+    (hlen,) = _s.unpack(">I", blob[:4])
+    payload = blob[4 + hlen:]
+    df = B._decode_block(B._decode_blob(payload))
+    assert df["id"].tolist() == ids
+    got_lat = (df["lat"].to_numpy() * 1e7).round().astype(int).tolist()
+    got_lon = (df["lon"].to_numpy() * 1e7).round().astype(int).tolist()
+    assert got_lat == lats and got_lon == lons
