@@ -40,6 +40,8 @@ shrinking unresolved set against its new annulus.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -226,3 +228,99 @@ def segment_midpoints(edges: DataFrame, geometry_col: str = "geometry") -> DataF
     return edges.withColumn("__mid", mid(F.col(geometry_col))).select(
         "*", F.col("__mid.mx").alias("mx"), F.col("__mid.my").alias("my")
     ).drop("__mid")
+
+
+def within_distance_join(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: float,
+    res: int | None = None,
+    point_id: str = "point_id",
+    seg_id: str = "seg_id",
+    point_xy: tuple[str, str] = ("x", "y"),
+    seg_xy: tuple[str, str] = ("mx", "my"),
+    world=WORLD,
+) -> DataFrame:
+    """Range ("dwithin") spatial join: every (point, segment-midpoint)
+    pair with Euclidean distance ≤ ``radius`` → (point_id, seg_id,
+    dist).
+
+    Unlike kNN this needs NO iteration: each point explodes to the cell
+    cover of its radius box (a (2k+1)² block at a resolution chosen so
+    k stays ≤ 2), the cover equi-joins segment cells, and an exact
+    distance filter finishes the job.  The whole plan is codegen —
+    sequence-explode, hash join, arithmetic filter; zero Python — and
+    the single shuffle is the cell equi-join, AQE-salted on hot cells.
+    At 10^12 points the candidate volume is bounded by density × (3r)²,
+    the same asymptotics a PostGIS dwithin GiST scan gives per row."""
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    x0, y0, x1, y1 = world
+    if res is None:
+        # coarsest res whose cell min-side ≥ radius (k = 1 ring covers),
+        # floored at res 1 so degenerate radii don't blow the cover up
+        res = 1
+        while res < 18:
+            cw = (x1 - x0) / (1 << (res + 1))
+            ch = (y1 - y0) / (1 << (res + 1))
+            if min(cw, ch) < radius:
+                break
+            res += 1
+    n = 1 << res
+    cell_w = (x1 - x0) / n
+    cell_h = (y1 - y0) / n
+    kx = int(math.ceil(radius / cell_w))
+    ky = int(math.ceil(radius / cell_h))
+    px, py = point_xy
+    sx, sy = seg_xy
+
+    segs = segments.select(
+        F.col(seg_id).alias("__sid"),
+        F.col(sx).alias("__sx"),
+        F.col(sy).alias("__sy"),
+        cell_expr(F.col(sx), F.col(sy), res, world).alias("__cell"),
+    )
+    pcell = cell_expr(F.col(px), F.col(py), res, world)
+    ix = F.shiftright(pcell, 29).bitwiseAND(F.lit(_MASK).cast("long"))
+    iy = pcell.bitwiseAND(F.lit(_MASK).cast("long"))
+    dxs = F.sequence(F.lit(-kx), F.lit(kx))
+    dys = F.sequence(F.lit(-ky), F.lit(ky))
+    cover = F.flatten(
+        F.transform(
+            dxs,
+            lambda dx: F.transform(
+                dys, lambda dy: F.struct(dx.alias("dx"), dy.alias("dy"))
+            ),
+        )
+    )
+    keep = F.filter(
+        cover,
+        lambda p: (ix + p["dx"] >= 0) & (ix + p["dx"] < n)
+        & (iy + p["dy"] >= 0) & (iy + p["dy"] < n),
+    )
+    cells = F.transform(
+        keep,
+        lambda p: F.shiftleft(F.lit(res).cast("long"), 58)
+        .bitwiseOR(F.shiftleft(ix + p["dx"], 29))
+        .bitwiseOR(iy + p["dy"]),
+    )
+    pts = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col(px).alias("__px"),
+        F.col(py).alias("__py"),
+        F.explode(cells).alias("__cell"),
+    )
+    dist = F.sqrt(
+        (F.col("__px") - F.col("__sx")) * (F.col("__px") - F.col("__sx"))
+        + (F.col("__py") - F.col("__sy")) * (F.col("__py") - F.col("__sy"))
+    )
+    return (
+        pts.join(segs, "__cell")
+        .withColumn("__dist", dist)
+        .filter(F.col("__dist") <= F.lit(float(radius)))
+        .select(
+            F.col("__pid").alias(point_id),
+            F.col("__sid").alias(seg_id),
+            F.col("__dist").alias("dist"),
+        )
+    )

@@ -1763,3 +1763,44 @@ def dissolve_nation_regions(spark, sf_dir):
     return out.select(
         "s_nationkey", "n_polys", F.round("union_area", 2).alias("union_area")
     )
+
+
+@register(
+    "points_within_distance",
+    oracle="""
+with pts as (
+  select c_custkey as point_id,
+         ((c_custkey * 3) % 100) / 1e1 + 5e-2 as x,
+         ((c_custkey * 7) % 100) / 1e1 + 5e-2 as y
+  from customer
+), segs as (
+  select p_partkey as seg_id,
+         ((p_partkey * 11) % 100) / 1e1 + 5e-2 as mx,
+         ((p_partkey * 17) % 100) / 1e1 + 5e-2 as my
+  from part
+)
+select p.point_id, s.seg_id,
+       cast(round(sqrt((p.x - s.mx) * (p.x - s.mx) + (p.y - s.my) * (p.y - s.my)), 6) as double) as dist
+from pts p cross join segs s
+where sqrt((p.x - s.mx) * (p.x - s.mx) + (p.y - s.my) * (p.y - s.my)) <= 25e-2
+""",
+)
+def points_within_distance(spark, sf_dir):
+    """Range ("dwithin") spatial join (operators/knn.py
+    within_distance_join): all point–segment pairs within 0.25 units,
+    via a one-shot cell-cover equi-join — pure codegen, no Python, no
+    iteration.  The oracle is the O(n·m) brute force."""
+    from osm_chordify_spark.operators.knn import within_distance_join
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        F.expr("((c_custkey * 3) % 100) / 1e1 + 5e-2").alias("x"),
+        F.expr("((c_custkey * 7) % 100) / 1e1 + 5e-2").alias("y"),
+    )
+    segs = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("seg_id"),
+        F.expr("((p_partkey * 11) % 100) / 1e1 + 5e-2").alias("mx"),
+        F.expr("((p_partkey * 17) % 100) / 1e1 + 5e-2").alias("my"),
+    )
+    out = within_distance_join(pts, segs, radius=0.25)
+    return out.select("point_id", "seg_id", F.round("dist", 6).alias("dist"))

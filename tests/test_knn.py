@@ -49,3 +49,49 @@ def test_segment_midpoints(spark):
     )
     out = segment_midpoints(df).toPandas()
     assert (out.iloc[0]["mx"], out.iloc[0]["my"]) == (4.0, 0.0)
+
+
+def test_within_distance_join_brute_force(spark):
+    """Range join matches the O(n·m) brute force, including the
+    inclusive boundary and a forced-fine resolution (multi-cell cover)."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_chordify_spark.operators.knn import within_distance_join
+
+    rng = np.random.default_rng(9)
+    pts = pd.DataFrame({
+        "point_id": np.arange(200),
+        "x": rng.uniform(-179, 179, 200),
+        "y": rng.uniform(-89, 89, 200),
+    })
+    segs = pd.DataFrame({
+        "seg_id": np.arange(300),
+        "mx": rng.uniform(-179, 179, 300),
+        "my": rng.uniform(-89, 89, 300),
+    })
+    # exact boundary pair: dist == radius must be INCLUDED
+    pts.loc[0, ["x", "y"]] = (0.0, 0.0)
+    segs.loc[0, ["mx", "my"]] = (3.0, 4.0)  # dist 5 == radius
+
+    radius = 5.0
+    for res in (None, 12):  # default coarse pick and a forced-fine cover
+        out = within_distance_join(
+            spark.createDataFrame(pts), spark.createDataFrame(segs),
+            radius=radius, res=res,
+        ).toPandas()
+        d = np.sqrt(
+            (pts["x"].to_numpy()[:, None] - segs["mx"].to_numpy()) ** 2
+            + (pts["y"].to_numpy()[:, None] - segs["my"].to_numpy()) ** 2
+        )
+        exp = {(int(i), int(j)) for i, j in zip(*np.nonzero(d <= radius))}
+        got = {(int(r.point_id), int(r.seg_id)) for r in out.itertuples()}
+        assert got == exp, f"res={res}"
+        assert (0, 0) in got
+
+    import pytest
+
+    with pytest.raises(ValueError, match="radius"):
+        within_distance_join(
+            spark.createDataFrame(pts), spark.createDataFrame(segs), radius=0.0
+        )
