@@ -26,3 +26,42 @@ def test_streaming_zone_counts_matches_batch(spark, tmp_path):
     )
     stream_totals = out.groupby("zone_id")["page_count"].sum()
     assert stream_totals.to_dict() == batch.to_dict()
+
+
+def test_streaming_exact_dedup_drops_refetches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: duplicate crawls of the same
+    content inside the horizon collapse to one row; distinct contents
+    all survive.  Batch twin proves the fingerprint key semantics."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osm_chordify_spark.streaming.dedup_stream import dedup_pages_stream
+    from osm_chordify_spark.streaming.pages_stream import read_pages_stream
+
+    base = P.synthesize_pages(spark, SF_SMOKE).limit(100).toPandas()
+    dup = base.copy()
+    dup["url"] = dup["url"] + "?refetch"  # same text, new url = re-crawl
+    whitespace = base.copy()
+    whitespace["url"] = whitespace["url"] + "?ws"
+    whitespace["text"] = whitespace["text"].str.replace(" ", "  ")  # normalizes equal
+    src = str(tmp_path / "dd_src")
+    spark.createDataFrame(pd.concat([base, dup, whitespace], ignore_index=True)) \
+        .repartition(6).write.parquet(src)
+
+    q = (
+        dedup_pages_stream(read_pages_stream(spark, src))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_test")
+        .option("checkpointLocation", str(tmp_path / "dd_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql("select * from dd_test").toPandas()
+    assert len(out) == 100  # one row per distinct content
+    assert out["fingerprint"].is_unique
+
+    # batch twin: same key semantics without streaming state
+    batch = dedup_pages_stream(P.synthesize_pages(spark, SF_SMOKE).limit(100))
+    assert batch.count() == 100
