@@ -1804,3 +1804,27 @@ def points_within_distance(spark, sf_dir):
     )
     out = within_distance_join(pts, segs, radius=0.25)
     return out.select("point_id", "seg_id", F.round("dist", 6).alias("dist"))
+
+
+@register(
+    "raster_focal_sum",
+    oracle=_RASTER_CELLS_CTE
+    + """
+select cx + i.i as cell_x, cy + j.j as cell_y, cast(sum(v) as bigint) as n
+from cells, generate_series(-1, 1) i(i), generate_series(-1, 1) j(j)
+group by 1, 2
+""",
+)
+def raster_focal_sum(spark, sf_dir):
+    """Focal (3×3 neighborhood) sum over the density raster — map
+    algebra's focal quadrant via scatter-gather: each present cell
+    explodes to its 9 contribution targets, one hash aggregate with
+    map-side combine collapses them (fully codegen, no Python)."""
+    from osm_chordify_spark.operators import raster as R
+
+    tiles, grid = _pages_density(spark, sf_dir)
+    out = R.focal_stats(tiles, grid, radius=1, stat="sum")
+    cells = R.raster_cells(out, grid)
+    return cells.select(
+        "cell_x", "cell_y", F.col("value").cast("long").alias("n")
+    )

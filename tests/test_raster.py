@@ -277,3 +277,31 @@ def test_pages_density_grid_negative_tiles(spark):
     got = set(map(tuple, cells[["cell_x", "cell_y"]].to_numpy()))
     assert got == {(-1, -1), (-9, -9), (0, 0), (7, -1)}
     assert (cells["value"] == 1.0).all()
+
+
+@pytest.mark.parametrize("stat", ["sum", "mean", "max"])
+def test_focal_stats_matches_brute_force(spark, stat):
+    df, pdf = _points(spark, n=600, seed=13)
+    tiles = rasterize_points(df, GRID, "x", "y", value_col="v", stat="sum")
+    from osm_chordify_spark.operators.raster import focal_stats
+
+    out = focal_stats(tiles, GRID, radius=1, stat=stat)
+    got = (
+        raster_cells(out, GRID)
+        .toPandas()
+        .set_index(["cell_x", "cell_y"])["value"]
+        .sort_index()
+    )
+    fine = _cells_brute(pdf, GRID, "sum")
+    vals = {k: v for k, v in fine.items() if v != 0.0}
+    exp = {}
+    agg = {"sum": sum, "mean": lambda s: sum(s) / len(s), "max": max}[stat]
+    for (cx, cy) in vals:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                exp.setdefault((cx + dx, cy + dy), []).append(vals[(cx, cy)])
+    exp = {k: agg(v) for k, v in exp.items()}
+    exp = {k: v for k, v in exp.items() if v != 0.0}
+    assert len(got) == len(exp)
+    for k, v in exp.items():
+        assert np.isclose(got.loc[k], v, rtol=1e-9), k
