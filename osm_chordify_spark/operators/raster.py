@@ -781,3 +781,142 @@ def focal_stats(
         _STATS[stat](F.col("val")).cast("double").alias("v")
     )
     return _assemble_tiles(per_cell, grid.tile)
+
+
+# ---------------------------------------------------------------------------
+# raster × vector at census-tract zone scale: the non-broadcastable path
+
+
+def zonal_stats_dist(
+    tiles: DataFrame,
+    grid: GridSpec,
+    zones_df: DataFrame,
+    zone_id_col: str = "zone_id",
+    geometry_col: str = "geometry",
+    res: int = 7,
+    world=None,
+    max_cells_per_zone: int = 4096,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """``zonal_stats`` over a DataFrame zone table too large to
+    broadcast (the same dispatch story as
+    ``intersect_dist.intersect_lines_with_zones_dist``): zones explode
+    to (cell, zone, full) rows via the SAME ``zone_cover_cells``
+    classification the broadcast index uses, raster cell centers map to
+    index cells in pure codegen, candidates come from a cell equi-join,
+    full cells skip the exact test, and only partial-cell candidates
+    flow through a salted winding-number kernel.  Same output contract
+    as ``zonal_stats`` — parity is pinned in pytest."""
+    from osm_chordify_spark import cellindex as ci
+
+    if world is None:
+        world = ci.WORLD
+    from osm_chordify_spark.functions.cells import cell_expr
+    from osm_chordify_spark.operators import zoneindex as ZI
+
+    # effective resolution: same global over-cover coarsening as
+    # ZoneIndex.build, computed as one tiny aggregate
+    def res_batch(batches):
+        for pdf in batches:
+            r = res
+            for g in pdf[geometry_col]:
+                polys = G.geometry_polygons(bytes(g))
+                r = min(r, ZI.zone_min_res(polys, r, world, max_cells_per_zone))
+            yield pd.DataFrame({"r": [r]})
+
+    row = (
+        zones_df.select(geometry_col)
+        .mapInPandas(res_batch, schema="r int")
+        .agg(F.min("r").alias("r"))
+        .collect()[0]
+    )
+    eff_res = int(row.r) if row.r is not None else res
+
+    zindexed = zones_df.select(
+        F.monotonically_increasing_id().alias("__zid"),
+        F.col(zone_id_col).alias("zone_id"),
+        F.col(geometry_col).alias("__zgeom"),
+    ).localCheckpoint(eager=True)
+
+    def zone_cells(batches):
+        for pdf in batches:
+            zids, cells, fulls = [], [], []
+            for zid, g in zip(pdf["__zid"], pdf["__zgeom"]):
+                polys = G.geometry_polygons(bytes(g))
+                for c, full in ZI.zone_cover_cells(
+                    polys, eff_res, world, max_cells_per_zone
+                ).items():
+                    zids.append(zid)
+                    cells.append(c)
+                    fulls.append(full)
+            yield pd.DataFrame(
+                {
+                    "__zid": pd.Series(zids, dtype="int64"),
+                    "__icell": pd.Series(cells, dtype="int64"),
+                    "full": pd.Series(fulls, dtype="bool"),
+                }
+            )
+
+    zcells = zindexed.select("__zid", "__zgeom").mapInPandas(
+        zone_cells, schema="__zid long, __icell long, full boolean"
+    )
+
+    # raster cells → index cell of the CENTER, all codegen
+    cells = raster_cells(tiles, grid, drop_zero=True)
+    centers = cells.select(
+        "value",
+        (F.lit(grid.x0) + (F.col("cell_x") + F.lit(0.5)) * grid.dx).alias("__cx"),
+        (F.lit(grid.y0) + (F.col("cell_y") + F.lit(0.5)) * grid.dy).alias("__cy"),
+    ).withColumn(
+        "__icell", cell_expr(F.col("__cx"), F.col("__cy"), eff_res, world)
+    )
+
+    cand = centers.join(zcells, "__icell")
+    accepted_full = cand.filter(F.col("full")).select("__zid", "value")
+
+    partial = cand.filter(~F.col("full")).join(
+        zindexed.select("__zid", "__zgeom"), "__zid"
+    )
+    part_schema = StructType(
+        [
+            StructField("__zid", LongType(), False),
+            StructField("value", DoubleType(), False),
+        ]
+    )
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        polys = G.geometry_polygons(bytes(pdf["__zgeom"].iloc[0]))
+        px = pdf["__cx"].to_numpy(np.float64)
+        py = pdf["__cy"].to_numpy(np.float64)
+        inside = np.zeros(len(pdf), dtype=bool)
+        for rings in polys:
+            inside |= G.point_in_polygon(px, py, rings)
+        # slicing keeps int64/float64 dtypes even when empty (an empty
+        # literal dict would arrive as object columns and break Arrow)
+        return pdf.loc[inside, ["__zid", "value"]]
+
+    from osm_chordify_spark.operators.graph import _grouped_map
+
+    salted = partial.withColumn(
+        "__gk",
+        F.concat_ws(
+            "#",
+            F.col("__zid"),
+            F.pmod(F.xxhash64("__cx", "__cy"), F.lit(salt_buckets)),
+        ),
+    )
+    refined = _grouped_map(salted, "__gk", refine, part_schema)
+
+    accepted = accepted_full.unionByName(refined.select("__zid", "value"))
+    return (
+        accepted.groupBy("__zid")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            (F.sum("value") / F.count(F.lit(1))).alias("mean_value"),
+        )
+        .join(zindexed.select("__zid", "zone_id"), "__zid")
+        .select("zone_id", "n_cells", "sum_value", "min_value", "max_value", "mean_value")
+    )

@@ -1828,3 +1828,46 @@ def raster_focal_sum(spark, sf_dir):
     return cells.select(
         "cell_x", "cell_y", F.col("value").cast("long").alias("n")
     )
+
+
+@register(
+    "raster_zonal_stats_dist",
+    oracle=_RASTER_CELLS_CTE
+    + """
+select concat('Z', cast(floor((cy + 5e-1) / 2e1) as int),
+              '_', cast(floor((cx + 5e-1) / 3e1) as int)) as zone_id,
+       count(*) as n_cells,
+       cast(sum(v) as bigint) as sum_value,
+       cast(min(v) as bigint) as min_value,
+       cast(max(v) as bigint) as max_value,
+       round(cast(sum(v) as double) / count(*), 4) as mean_value
+from cells group by 1
+""",
+)
+def raster_zonal_stats_dist(spark, sf_dir):
+    """The DISTRIBUTED zonal-stats path (DataFrame zone table → cell
+    equi-join + salted winding-number refinement; operators/raster.py
+    zonal_stats_dist) — same oracle as the broadcast query, proving
+    both paths meet the identical contract under the driver gate."""
+    from osm_chordify_spark.operators import raster as R
+
+    tiles, grid = _pages_density(spark, sf_dir)
+    zdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "zone_id": [z for z, _ in P.make_zone_grid()],
+                "geometry": [
+                    _G.wkb_polygon(rings) for _, rings in P.make_zone_grid()
+                ],
+            }
+        )
+    )
+    stats = R.zonal_stats_dist(tiles, grid, zdf, res=7)
+    return stats.select(
+        "zone_id",
+        "n_cells",
+        F.col("sum_value").cast("long").alias("sum_value"),
+        F.col("min_value").cast("long").alias("min_value"),
+        F.col("max_value").cast("long").alias("max_value"),
+        F.round("mean_value", 4).alias("mean_value"),
+    )

@@ -305,3 +305,35 @@ def test_focal_stats_matches_brute_force(spark, stat):
     assert len(got) == len(exp)
     for k, v in exp.items():
         assert np.isclose(got.loc[k], v, rtol=1e-9), k
+
+
+def test_zonal_stats_dist_parity_with_broadcast(spark):
+    """The distributed (DataFrame-zones) zonal stats must reproduce the
+    broadcast path exactly — triangle zones exercise the partial-cell
+    winding-number kernel, not just full-cell acceptance."""
+    from osm_chordify_spark.operators.raster import zonal_stats_dist
+
+    df, pdf = _points(spark)
+    tiles = rasterize_points(df, GRID, "x", "y", value_col="v", stat="sum")
+    tri1 = np.array([[-9.0, -4.0], [9.0, -4.0], [0.0, 4.5]])
+    tri2 = np.array([[-9.5, 0.0], [-2.0, 4.0], [-9.5, 4.5]])
+    zones = [("tri1", [tri1]), ("tri2", [tri2])]
+    zdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "zone_id": [z for z, _ in zones],
+                "geometry": [G.wkb_polygon(r) for _, r in zones],
+            }
+        )
+    )
+    a = (
+        zonal_stats(tiles, GRID, zones)
+        .toPandas()
+        .sort_values("zone_id", ignore_index=True)
+    )
+    b = (
+        zonal_stats_dist(tiles, GRID, zdf)
+        .toPandas()
+        .sort_values("zone_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
