@@ -64,3 +64,40 @@ def test_chordify_no_cartesian_and_arrow_only_python(spark):
     plan = _plan(spark, "chordify_contraction")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time UDFs banned
+
+
+def test_raster_density_all_jvm_and_pruned(spark):
+    """rasterize_points → raster_cells must stay entirely JVM-side
+    (no Python crossing) with a single-column pruned scan and map-side
+    partial aggregation before the cell shuffle."""
+    plan = _plan(spark, "raster_point_density")
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python either
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert read_schema.count(":") == 1 and "doc_id" in read_schema
+    assert "partial_count" in plan
+
+
+def test_focal_sum_all_jvm(spark):
+    """Scatter-gather focal stats is codegen end-to-end: explodes +
+    one map-side-combined aggregate, zero Python."""
+    plan = _plan(spark, "raster_focal_sum")
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan
+    assert "Generate explode" in plan or "Generate posexplode" in plan
+
+
+def test_within_distance_no_cartesian_no_python(spark):
+    """The dwithin range join must be a hash join on cell ids — never a
+    cartesian/broadcast-nested-loop — with no Python stage."""
+    plan = _plan(spark, "points_within_distance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" in plan and "__cell" in plan
+
+
+def test_cell_compact_all_jvm(spark):
+    """compact_cells is pure bit arithmetic + aggregates: no Python."""
+    plan = _plan(spark, "cell_compact")
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
