@@ -337,3 +337,42 @@ def test_zonal_stats_dist_parity_with_broadcast(spark):
         .sort_values("zone_id", ignore_index=True)
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_geotiff_roundtrip_world_coordinates(spark, tmp_path):
+    """tiles → GeoTIFF → tiles preserves every cell VALUE at its WORLD
+    position (tile numbering re-anchors to the file corner, so compare
+    in world space), and the container parses as a valid tiled TIFF."""
+    import struct
+
+    from osm_chordify_spark.sources.geotiff import (
+        _parse_ifd,
+        read_geotiff,
+        save_geotiff,
+    )
+
+    df, pdf = _points(spark, n=900, seed=21)
+    tiles = rasterize_points(df, GRID, "x", "y", value_col="v", stat="sum")
+    path = str(tmp_path / "density.tif")
+    save_geotiff(tiles, GRID, path)
+
+    with open(path, "rb") as fh:
+        assert fh.read(4) == b"II" + struct.pack("<H", 42)
+    meta = _parse_ifd(path)
+    assert meta["tile_w"] == GRID.tile and meta["width"] % GRID.tile == 0
+    assert meta["scale"][0] == GRID.dx
+
+    back, bgrid = read_geotiff(spark, path)
+
+    def world_cells(t, g):
+        c = raster_cells(t, g).toPandas()
+        return {
+            (g.x0 + (r.cell_x + 0.5) * g.dx, g.y0 + (r.cell_y + 0.5) * g.dy): r.value
+            for r in c.itertuples()
+        }
+
+    a = world_cells(tiles, GRID)
+    b = world_cells(back, bgrid)
+    assert set(a) == set(b)
+    for k in a:
+        assert np.isclose(a[k], b[k], rtol=0, atol=0), k  # float64 exact
