@@ -1871,3 +1871,32 @@ def raster_zonal_stats_dist(spark, sf_dir):
         F.col("max_value").cast("long").alias("max_value"),
         F.round("mean_value", 4).alias("mean_value"),
     )
+
+
+@register(
+    "raster_sample_nearest",
+    oracle=_RASTER_CELLS_CTE
+    + """
+select c.url, cast(coalesce(t.v, 0) as bigint) as sampled
+from coords c
+left join cells t
+  on t.cx = cast(floor((c.lon - (-13e1)) / 1e0) as bigint)
+ and t.cy = cast(floor((c.lat - 2e1) / 1e0) as bigint)
+""",
+)
+def raster_sample_nearest(spark, sf_dir):
+    """Point sampling of the raster (raster × vector, the inverse of
+    rasterize): each page reads its own cell's density via one hash
+    equi-join on cell ids — no Python, no raster broadcast.  Bilinear
+    sampling is pytest-verified against NumPy (test_raster)."""
+    from osm_chordify_spark.operators import raster as R
+
+    tiles, grid = _pages_density(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://example.org/page/"), F.col("doc_id")).alias("url"),
+        P.lon_col().alias("lon"),
+        P.lat_col().alias("lat"),
+    )
+    out = R.sample_raster(docs, tiles, grid, x_col="lon", y_col="lat",
+                          method="nearest")
+    return out.select("url", F.col("sampled").cast("long").alias("sampled"))

@@ -376,3 +376,40 @@ def test_geotiff_roundtrip_world_coordinates(spark, tmp_path):
     assert set(a) == set(b)
     for k in a:
         assert np.isclose(a[k], b[k], rtol=0, atol=0), k  # float64 exact
+
+
+def test_sample_raster_nearest_and_bilinear(spark):
+    """Nearest = own-cell value; bilinear matches a NumPy reference
+    (absent cells contribute 0 with weight, per the no-data convention)."""
+    from osm_chordify_spark.operators.raster import sample_raster
+
+    df, pdf = _points(spark, n=1500, seed=31)
+    tiles = rasterize_points(df, GRID, "x", "y", value_col="v", stat="sum")
+    vals = {k: v for k, v in _cells_brute(pdf, GRID, "sum").items() if v != 0.0}
+
+    qpdf = pd.DataFrame({
+        "pid": np.arange(300),
+        "x": np.random.default_rng(4).uniform(-9.9, 9.9, 300),
+        "y": np.random.default_rng(5).uniform(-4.9, 4.9, 300),
+    })
+    q = spark.createDataFrame(qpdf)
+
+    near = sample_raster(q, tiles, GRID, method="nearest").toPandas() \
+        .set_index("pid")["sampled"]
+    for r in qpdf.itertuples():
+        cx = int(np.floor((r.x - GRID.x0) / GRID.dx))
+        cy = int(np.floor((r.y - GRID.y0) / GRID.dy))
+        assert np.isclose(near.loc[r.pid], vals.get((cx, cy), 0.0)), r.pid
+
+    bil = sample_raster(q, tiles, GRID, method="bilinear").toPandas() \
+        .set_index("pid")["sampled"]
+    for r in qpdf.itertuples():
+        fx = (r.x - GRID.x0) / GRID.dx - 0.5
+        fy = (r.y - GRID.y0) / GRID.dy - 0.5
+        gx, gy = int(np.floor(fx)), int(np.floor(fy))
+        tx, ty = fx - gx, fy - gy
+        exp = 0.0
+        for dx, wx in ((0, 1 - tx), (1, tx)):
+            for dy, wy in ((0, 1 - ty), (1, ty)):
+                exp += wx * wy * vals.get((gx + dx, gy + dy), 0.0)
+        assert np.isclose(bil.loc[r.pid], exp, rtol=1e-9), r.pid
