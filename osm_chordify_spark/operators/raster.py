@@ -33,6 +33,14 @@ Scale notes per operator:
   adjacencies).  The label graph is orders of magnitude smaller than
   the cell set, which is what makes region extraction feasible at
   lake scale.
+* ``focal_stats`` — scatter-gather: present cells explode to their
+  (2r+1)² targets, one map-side-combined aggregate; sparse-optimal.
+* ``zonal_stats_dist`` — the non-broadcastable-zones path (DataFrame
+  zone table → cell equi-join + salted exact refinement).
+* ``sample_raster`` — point sampling (nearest/bilinear) as plain hash
+  equi-joins; the raster is the big side, never broadcast.
+* interchange: ``sources/geotiff.py`` writes/reads the tiles as a tiled
+  single-band GeoTIFF (TIFF tiles = Spark tiles, 1:1).
 """
 
 from __future__ import annotations
