@@ -949,7 +949,10 @@ def sample_raster(
     weighted aggregate for bilinear.  No Python, no broadcast of the
     raster (the raster is the big side; Catalyst/AQE pick the join
     strategy), so a 10^12-point table samples a continental raster with
-    exactly one shuffle."""
+    exactly one shuffle.
+
+    Bilinear re-aggregates by ALL point columns, so point rows must be
+    unique (give duplicates a distinct id column first)."""
     if method not in ("nearest", "bilinear"):
         raise ValueError("method must be 'nearest' or 'bilinear'")
     cells = raster_cells(tiles, grid, drop_zero=True)

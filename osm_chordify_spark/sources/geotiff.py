@@ -73,6 +73,14 @@ def save_geotiff(tiles: DataFrame, grid: GridSpec, path: str) -> str:
     nty = ty1 - ty0 + 1
     width, height = ntx * T, nty * T
     tile_bytes = T * T * 8
+    # classic TIFF offsets are uint32: refuse rather than wrap past 4 GB
+    # (BigTIFF would lift this; parquet tiles are the lake-scale path)
+    est = (len(idx) + 1) * tile_bytes + (ntx * nty) * 8 + 4096
+    if est >= (1 << 32):
+        raise ValueError(
+            f"raster would need ~{est / 2**30:.1f} GiB — beyond classic "
+            "TIFF's 4 GiB uint32 offsets; keep tiles in parquet at this scale"
+        )
 
     def encode(batches):
         for pdf in batches:
