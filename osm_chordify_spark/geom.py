@@ -901,9 +901,10 @@ def buffer_polygon(polys, d: float, quad_segs: int = 8):
     reference utils/geo.py buffer step).  Exact for the polygon and edge
     offsets; the only approximation is the arc discretization — same as
     GEOS.  For convex rings offset_ring_convex stays the exact
-    fast path."""
+    fast path.  Negative ``d`` dispatches to :func:`erode_polygons`
+    (inward offset via complement dilation)."""
     if d <= 0:
-        return [polys] if d == 0 else _erode_unsupported()
+        return [polys] if d == 0 else erode_polygons([polys], -d, quad_segs)
     k = max(int(4 * quad_segs), 8)
     pieces = [polys]
     outer = ring_close(polys[0])[:-1]
@@ -923,8 +924,53 @@ def buffer_polygon(polys, d: float, quad_segs: int = 8):
     return union_polygons(pieces)
 
 
-def _erode_unsupported():
-    raise NotImplementedError(
-        "negative (inward) buffers are not implemented — the reference's "
-        "mask pipeline only buffers outward (utils/geo.py:153-201)"
-    )
+def erode_polygons(polys_list, d: float, quad_segs: int = 8):
+    """Inward offset (negative buffer / morphological erosion) of a set
+    of polygons-with-holes by ``d > 0`` → list of polygons-with-holes.
+
+    The complement trick reuses the existing dilation + union
+    machinery: erode(P, d) = B ∖ buffer(B ∖ P, d) for any box B with
+    margin > d around P.  Structurally: dilate the complement (box with
+    P's outers as holes, plus P's holes as islands), then the HOLES of
+    the dilated complement are the eroded outers, and its grown islands
+    re-attach as their holes.  Exact along straight edges (a convex
+    corner erodes to the exact offset corner); the only approximation
+    is the arc discretization concave corners inherit from
+    ``buffer_polygon``.  One nesting level (polygon → hole → island),
+    same scope as ``union_polygons``."""
+    if d <= 0:
+        raise ValueError("erode_polygons needs d > 0")
+    merged = union_polygons(polys_list)
+    if not merged:
+        return []
+    xs = np.concatenate([ring_close(p[0])[:, 0] for p in merged])
+    ys = np.concatenate([ring_close(p[0])[:, 1] for p in merged])
+    m = 3.0 * d
+    x0, y0, x1, y1 = xs.min() - m, ys.min() - m, xs.max() + m, ys.max() + m
+    box = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+
+    comp = [[box] + [p[0] for p in merged]]
+    comp += [[h] for p in merged for h in p[1:]]
+    pieces = []
+    for cp in comp:
+        pieces.extend(buffer_polygon(cp, d, quad_segs))
+    dil = union_polygons(pieces)
+
+    outers, islands = [], []
+    probe_x = np.array([x0 + 1e-9])
+    probe_y = np.array([y0 + 1e-9])
+    for p in dil:
+        # the complement component is the one containing the box corner
+        if point_in_polygon(probe_x, probe_y, p)[0]:
+            outers.extend(p[1:])
+        else:
+            islands.append(p)
+    result = []
+    for o in outers:
+        rings = [o]
+        for isl in islands:
+            lx, ly = polygon_label_point([isl[0]])
+            if point_in_polygon(np.array([lx]), np.array([ly]), [o])[0]:
+                rings.append(isl[0])
+        result.append(rings)
+    return result

@@ -232,3 +232,59 @@ def test_buffer_matches_exact_convex_offset():
     got = sum(G.polygon_area(p) for p in mink)
     # convex square: exact = A + P·d + π·d²
     assert got == pytest.approx(4.0 + 8.0 * d + np.pi * d * d, rel=1e-3)
+
+
+def test_erode_square_exact():
+    """Eroding a square is exact (straight edges, convex corners)."""
+    sq = [np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])]
+    out = G.buffer_polygon(sq, -2.0)
+    assert len(out) == 1
+    assert np.isclose(G.polygon_area(out[0]), 6.0 * 6.0, atol=1e-6)
+    ring = G.ring_close(out[0][0])[:-1]
+    assert set(map(tuple, np.round(ring, 6))) == {
+        (2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0)
+    }
+
+
+def test_erode_annulus_keeps_hole():
+    """A thick square annulus erodes to a thinner annulus: outer shrinks
+    inward, hole grows outward, hole preserved."""
+    outer = np.array([[0.0, 0.0], [12.0, 0.0], [12.0, 12.0], [0.0, 12.0]])
+    hole = np.array([[5.0, 5.0], [7.0, 5.0], [7.0, 7.0], [5.0, 7.0]])
+    out = G.erode_polygons([[outer, hole]], 1.0)
+    assert len(out) == 1 and len(out[0]) == 2
+    # exact: outer 10×10, grown hole is the rounded-corner dilation of
+    # the 2×2 hole (area 2·2 + 4·2·1 + π·1² within arc tolerance)
+    area = G.polygon_area(out[0])
+    import math
+    exp = 10.0 * 10.0 - (4.0 + 8.0 + math.pi)
+    assert abs(area - exp) < 0.05
+
+
+def test_erode_to_empty_and_roundtrip():
+    sq = [np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 3.0], [0.0, 3.0]])]
+    assert G.buffer_polygon(sq, -1.6) == []
+    # dilate-then-erode returns (approximately) the original convex shape
+    grown = G.buffer_polygon(sq, 2.0)
+    back = []
+    for p in grown:
+        back.extend(G.buffer_polygon(p, -2.0))
+    assert len(back) == 1
+    assert abs(G.polygon_area(back[0]) - 9.0) < 0.1
+
+
+def test_erode_splits_dumbbell():
+    """Two 4×4 blocks joined by a thin 0.5-wide neck: eroding by 1
+    severs the neck into two components."""
+    dumbbell = np.array([
+        [0.0, 0.0], [4.0, 0.0], [4.0, 1.75], [8.0, 1.75], [8.0, 0.0],
+        [12.0, 0.0], [12.0, 4.0], [8.0, 4.0], [8.0, 2.25], [4.0, 2.25],
+        [4.0, 4.0], [0.0, 4.0],
+    ])
+    out = G.erode_polygons([[dumbbell]], 1.0)
+    assert len(out) == 2
+    for p in out:
+        # each block erodes to ~2×2 plus the small arc bulge toward the
+        # neck (points there really are > 1 from every boundary)
+        area = G.polygon_area(p)
+        assert 4.0 <= area < 4.05, area
