@@ -38,6 +38,7 @@ import sqlite3
 import struct
 from xml.sax.saxutils import escape, quoteattr
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -382,3 +383,67 @@ def save_pickle(nodes: DataFrame, edges: DataFrame, filepath: str,
     with open(filepath, "wb") as fh:
         pickle.dump({"nodes": nodes.toPandas(), "edges": edges.toPandas()}, fh)
     return filepath
+
+
+def _geojson_to_wkb(geom: dict) -> bytes | None:
+    """Inverse of _geojson_geometry — GeoJSON geometry dict → WKB."""
+    if geom is None:
+        return None
+    t = geom["type"]
+    c = geom["coordinates"]
+    if t == "Point":
+        return G.wkb_point(float(c[0]), float(c[1]))
+    if t == "LineString":
+        return G.wkb_linestring(np.asarray(c, dtype=np.float64))
+    if t == "MultiLineString":
+        return G.wkb_multilinestring([np.asarray(l, dtype=np.float64) for l in c])
+    if t == "Polygon":
+        return G.wkb_polygon([np.asarray(r, dtype=np.float64) for r in c])
+    if t == "MultiPolygon":
+        return G.wkb_multipolygon(
+            [[np.asarray(r, dtype=np.float64) for r in rings] for rings in c]
+        )
+    raise ValueError(f"unsupported GeoJSON geometry type {t!r}")
+
+
+def read_geojson(spark, path: str, geometry_col: str = "geometry"):
+    """GeoJSON FeatureCollection(s) → DataFrame(properties map<string,
+    string>, geometry WKB) — the zone-table loading path for real
+    TAZ/census polygon files (pair with ``Zones.from_records`` or the
+    ``*_dist`` operators' DataFrame zone input).
+
+    One task per FILE (a FeatureCollection is one JSON document, not
+    line-splittable); a directory of files parallelizes naturally —
+    which is how national zone sets ship (one file per state/region)."""
+    import json as _json
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                doc = _json.loads(bytes(content).decode("utf-8"))
+                feats = (
+                    doc["features"]
+                    if doc.get("type") == "FeatureCollection"
+                    else [doc]
+                )
+                rows = []
+                for f in feats:
+                    props = {
+                        str(k): (None if v is None else str(v))
+                        for k, v in (f.get("properties") or {}).items()
+                    }
+                    rows.append((props, _geojson_to_wkb(f.get("geometry"))))
+                if rows:
+                    yield pd.DataFrame(rows, columns=["properties", geometry_col])
+
+    from pyspark.sql.types import (
+        BinaryType, MapType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("properties", MapType(StringType(), StringType())),
+        StructField(geometry_col, BinaryType()),
+    ])
+    return files.mapInPandas(parse, schema=schema)

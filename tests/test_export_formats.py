@@ -111,3 +111,43 @@ def test_export_network_fanout_including_pbf(spark, graph, tmp_path):
     elems = read_osm_pbf(spark, out["pbf"]).toPandas()
     assert (elems["type"] == "node").sum() == 3
     assert (elems["type"] == "way").sum() == 2
+
+
+def test_geojson_roundtrip_read(spark, graph, tmp_path):
+    """save_geojson → read_geojson: geometry WKB survives byte-identical,
+    properties come back as a string map; a polygon zone file loads into
+    the distributed zone-join path's expected shape."""
+    nodes, edges = graph
+    path = str(tmp_path / "edges.geojson")
+    XF.save_geojson(edges, path)
+    back = XF.read_geojson(spark, path).toPandas()
+    assert len(back) == 2
+    got = sorted(bytes(b) for b in back["geometry"])
+    exp = sorted(bytes(r.geometry) for r in edges.collect())
+    assert got == exp
+    props = {p["u"] for p in back["properties"]}
+    assert props == {"1", "2"}
+
+    # polygon FeatureCollection → zone-table shape
+    import json
+
+    zone_fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"zone_id": "Zx"},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]],
+                },
+            }
+        ],
+    }
+    zp = str(tmp_path / "zones.geojson")
+    with open(zp, "w") as fh:
+        json.dump(zone_fc, fh)
+    zones = XF.read_geojson(spark, zp).toPandas()
+    polys = G.geometry_polygons(bytes(zones["geometry"].iloc[0]))
+    assert np.isclose(G.polygon_area(polys[0]), 16.0)
+    assert zones["properties"].iloc[0]["zone_id"] == "Zx"
