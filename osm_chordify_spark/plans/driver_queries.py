@@ -1900,3 +1900,44 @@ def raster_sample_nearest(spark, sf_dir):
     out = R.sample_raster(docs, tiles, grid, x_col="lon", y_col="lat",
                           method="nearest")
     return out.select("url", F.col("sampled").cast("long").alias("sampled"))
+
+
+@register(
+    "events_asof_last_signup",
+    oracle="""
+select e.event_id,
+       e.user_id,
+       (select r.value from events r
+         where r.user_id = e.user_id and r.event_type = 'signup'
+           and r.ts <= e.ts
+         order by r.ts desc, r.event_id desc limit 1) as signup_value,
+       (select r.ts from events r
+         where r.user_id = e.user_id and r.event_type = 'signup'
+           and r.ts <= e.ts
+         order by r.ts desc, r.event_id desc limit 1) as matched_ts
+from events e where e.event_type = 'error'
+""",
+)
+def events_asof_last_signup(spark, sf_dir):
+    """As-of (point-in-time) join: every error event picks up the value
+    of the user's latest signup at-or-before it (operators/asof.py —
+    union + ordered-window carry, ONE sort shuffle on user_id, never a
+    nested-loop range join).  Oracle: DuckDB correlated latest-row
+    subquery with the same (ts, event_id) tie-break."""
+    from osm_chordify_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        errors, signups, ts_col="ts", by_cols=["user_id"],
+        value_cols=["value"], tie_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("value").alias("signup_value"), "matched_ts",
+    )
