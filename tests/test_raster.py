@@ -413,3 +413,28 @@ def test_sample_raster_nearest_and_bilinear(spark):
             for dy, wy in ((0, 1 - ty), (1, ty)):
                 exp += wx * wy * vals.get((gx + dx, gy + dy), 0.0)
         assert np.isclose(bil.loc[r.pid], exp, rtol=1e-9), r.pid
+
+
+@pytest.mark.parametrize("stat", ["sum", "mean", "max", "count"])
+def test_focal_dense_parity_with_scatter(spark, stat):
+    """Halo-exchange focal must equal the scatter-gather focal cell for
+    cell (values AND coverage, including halo cells in absent tiles)."""
+    from osm_chordify_spark.operators.raster import focal_stats, focal_stats_dense
+
+    df, _ = _points(spark, n=2500, seed=17)
+    tiles = rasterize_points(df, GRID, "x", "y", value_col="v", stat="sum")
+    a = (
+        raster_cells(focal_stats(tiles, GRID, radius=1, stat=stat), GRID)
+        .toPandas()
+        .set_index(["cell_x", "cell_y"])["value"]
+        .sort_index()
+    )
+    b = (
+        raster_cells(focal_stats_dense(tiles, GRID, radius=1, stat=stat), GRID)
+        .toPandas()
+        .set_index(["cell_x", "cell_y"])["value"]
+        .sort_index()
+    )
+    assert len(a) == len(b)
+    assert (a.index == b.index).all()
+    assert np.allclose(a.to_numpy(), b.to_numpy(), rtol=1e-12)
