@@ -1092,3 +1092,40 @@ def focal_stats_dense(
     out = _grouped_map(key, "__gk", reduce_tile, StructType(TILE_SCHEMA_FIELDS))
     # drop all-zero output tiles (targets that only saw empty halo)
     return out.filter(F.exists("data", lambda v: v != 0.0))
+
+
+def regrid(
+    tiles: DataFrame,
+    grid: GridSpec,
+    target: GridSpec,
+    stat: str = "sum",
+) -> DataFrame:
+    """Re-align the raster onto an arbitrary ``target`` grid (different
+    origin and/or cell size — the general case :func:`resample` 's
+    integer-factor fast path doesn't cover): every present source cell
+    contributes its value to the target cell containing its CENTER,
+    aggregated by ``stat``.
+
+    Center-assignment semantics (the standard nearest-neighbor regrid):
+    exact when the target is coarser or offset; for upsampling prefer
+    :func:`sample_raster` at target cell centers (bilinear).  Pure
+    codegen — unpivot, two floor expressions, one map-side-combined
+    aggregate, tile assembly."""
+    if stat not in _STATS:
+        raise ValueError(f"stat must be one of {sorted(_STATS)}")
+    cells = raster_cells(tiles, grid, drop_zero=True)
+    centers = cells.select(
+        (F.lit(grid.x0) + (F.col("cell_x") + F.lit(0.5)) * grid.dx).alias("__wx"),
+        (F.lit(grid.y0) + (F.col("cell_y") + F.lit(0.5)) * grid.dy).alias("__wy"),
+        F.col("value").alias("val"),
+    )
+    per_cell = (
+        centers.select(
+            target.cell_x(F.col("__wx")).alias("cx"),
+            target.cell_y(F.col("__wy")).alias("cy"),
+            "val",
+        )
+        .groupBy("cx", "cy")
+        .agg(_STATS[stat](F.col("val")).cast("double").alias("v"))
+    )
+    return _assemble_tiles(per_cell, target.tile)

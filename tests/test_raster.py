@@ -438,3 +438,42 @@ def test_focal_dense_parity_with_scatter(spark, stat):
     assert len(a) == len(b)
     assert (a.index == b.index).all()
     assert np.allclose(a.to_numpy(), b.to_numpy(), rtol=1e-12)
+
+
+def test_regrid_matches_brute_force(spark):
+    """Regrid onto an offset, non-integer-ratio coarser grid: per-target
+    sums must match a NumPy center-assignment reference; the integer-
+    factor case must agree with resample exactly."""
+    from osm_chordify_spark.operators.raster import regrid
+
+    df, pdf = _points(spark, n=2000, seed=23)
+    tiles = rasterize_points(df, GRID, "x", "y", value_col="v", stat="sum")
+
+    tgt = GridSpec(x0=-9.7, y0=-4.3, dx=1.3, dy=0.7, tile=8)
+    got = (
+        raster_cells(regrid(tiles, GRID, tgt), tgt)
+        .toPandas()
+        .set_index(["cell_x", "cell_y"])["value"]
+        .sort_index()
+    )
+    fine = {k: v for k, v in _cells_brute(pdf, GRID, "sum").items() if v != 0.0}
+    exp = {}
+    for (cx, cy), v in fine.items():
+        wx = GRID.x0 + (cx + 0.5) * GRID.dx
+        wy = GRID.y0 + (cy + 0.5) * GRID.dy
+        k = (int(np.floor((wx - tgt.x0) / tgt.dx)),
+             int(np.floor((wy - tgt.y0) / tgt.dy)))
+        exp[k] = exp.get(k, 0.0) + v
+    exp = {k: v for k, v in exp.items() if v != 0.0}
+    assert len(got) == len(exp)
+    for k, v in exp.items():
+        assert np.isclose(got.loc[k], v, rtol=1e-9), k
+
+    # integer-factor regrid == resample
+    same = GridSpec(GRID.x0, GRID.y0, GRID.dx * 4, GRID.dy * 4, GRID.tile)
+    a = raster_cells(regrid(tiles, GRID, same), same).toPandas() \
+        .sort_values(["cell_x", "cell_y"], ignore_index=True)
+    rs, rg = resample(tiles, GRID, 4, stat="sum")
+    b = raster_cells(rs, rg).toPandas() \
+        .sort_values(["cell_x", "cell_y"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
