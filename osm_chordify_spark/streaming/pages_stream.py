@@ -94,3 +94,38 @@ def run_stream_to_memory(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_raster_counts(
+    pages_stream: DataFrame,
+    grid,
+    watermark: str = "1 hour",
+    window_duration: str = "10 minutes",
+) -> DataFrame:
+    """Live density raster from the crawl stream: extract → anchors →
+    watermarked windowed per-CELL counts in long format
+    (window, cell_x, cell_y, n).
+
+    The raster families' batch assembly (operators/raster) is a
+    downstream concern — the streaming stage emits finalized cell rows
+    per closed window (append mode), which a batch job folds into tiles
+    or a snapshot table.  Everything up to the aggregate is the same
+    codegen cell arithmetic the batch rasterizer uses, so stream and
+    batch counts are definitionally identical per window."""
+    pages = P.with_geo_anchors(P.with_extracted_text(pages_stream))
+    cells = pages.select(
+        "warc_ts",
+        grid.cell_x(F.col("lon")).alias("cell_x"),
+        grid.cell_y(F.col("lat")).alias("cell_y"),
+    )
+    return (
+        cells.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window_duration), "cell_x", "cell_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "cell_x",
+            "cell_y",
+            "n",
+        )
+    )

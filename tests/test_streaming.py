@@ -65,3 +65,50 @@ def test_streaming_exact_dedup_drops_refetches(spark, tmp_path):
     # batch twin: same key semantics without streaming state
     batch = dedup_pages_stream(P.synthesize_pages(spark, SF_SMOKE).limit(100))
     assert batch.count() == 100
+
+
+def test_streaming_raster_counts_matches_batch(spark, tmp_path):
+    """Windowed streaming cell counts == the batch rasterization of the
+    same pages, window for window."""
+    from pyspark.sql import functions as F
+
+    from osm_chordify_spark.operators.raster import GridSpec
+    from osm_chordify_spark.streaming.pages_stream import (
+        read_pages_stream,
+        streaming_raster_counts,
+    )
+
+    grid = GridSpec(x0=-130.0, y0=20.0, dx=1.0, dy=1.0, tile=32)
+    src = str(tmp_path / "rc_src")
+    P.synthesize_pages(spark, SF_SMOKE).repartition(8).write.parquet(src)
+
+    q = (
+        streaming_raster_counts(read_pages_stream(spark, src), grid)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rc_test")
+        .option("checkpointLocation", str(tmp_path / "rc_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql("select * from rc_test").toPandas()
+    assert out["n"].sum() == 500
+
+    batch = (
+        P.with_geo_anchors(P.synthesize_pages(spark, SF_SMOKE))
+        .select(
+            F.window("warc_ts", "10 minutes").alias("w"),
+            grid.cell_x(F.col("lon")).alias("cell_x"),
+            grid.cell_y(F.col("lat")).alias("cell_y"),
+        )
+        .groupBy(F.col("w.start").alias("window_start"), "cell_x", "cell_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    keys = ["window_start", "cell_x", "cell_y"]
+    a = out.sort_values(keys, ignore_index=True)
+    b = batch.sort_values(keys, ignore_index=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a[keys + ["n"]], b[keys + ["n"]])
