@@ -1129,3 +1129,25 @@ def regrid(
         .agg(_STATS[stat](F.col("val")).cast("double").alias("v"))
     )
     return _assemble_tiles(per_cell, target.tile)
+
+
+def raster_merge(a: DataFrame, b: DataFrame, grid: GridSpec, stat: str = "sum"):
+    """Merge two rasters on the same grid cell-by-cell (``stat`` over
+    present cells — the incremental-update fold: batch raster ⊕ closed
+    streaming windows).  Unpivot both, one map-side-combined aggregate,
+    re-tile; absent cells stay absent."""
+    if stat not in _STATS:
+        raise ValueError(f"stat must be one of {sorted(_STATS)}")
+    cells = raster_cells(a, grid, drop_zero=True).unionByName(
+        raster_cells(b, grid, drop_zero=True)
+    )
+    per_cell = (
+        cells.select(
+            F.col("cell_x").alias("cx"),
+            F.col("cell_y").alias("cy"),
+            F.col("value").alias("val"),
+        )
+        .groupBy("cx", "cy")
+        .agg(_STATS[stat](F.col("val")).cast("double").alias("v"))
+    )
+    return _assemble_tiles(per_cell, grid.tile)

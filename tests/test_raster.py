@@ -477,3 +477,26 @@ def test_regrid_matches_brute_force(spark):
     b = raster_cells(rs, rg).toPandas() \
         .sort_values(["cell_x", "cell_y"], ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_raster_merge_is_incremental_fold(spark):
+    """Rasterizing two halves and merging equals rasterizing the whole
+    — the incremental-update contract."""
+    from osm_chordify_spark.operators.raster import raster_merge
+
+    df, pdf = _points(spark, n=1200, seed=29)
+    half1 = spark.createDataFrame(pdf.iloc[:600])
+    half2 = spark.createDataFrame(pdf.iloc[600:])
+    whole = rasterize_points(df, GRID, "x", "y", value_col="v", stat="sum")
+    merged = raster_merge(
+        rasterize_points(half1, GRID, "x", "y", value_col="v", stat="sum"),
+        rasterize_points(half2, GRID, "x", "y", value_col="v", stat="sum"),
+        GRID,
+    )
+    a = raster_cells(whole, GRID).toPandas() \
+        .sort_values(["cell_x", "cell_y"], ignore_index=True)
+    b = raster_cells(merged, GRID).toPandas() \
+        .sort_values(["cell_x", "cell_y"], ignore_index=True)
+    assert len(a) == len(b)
+    assert np.allclose(a["value"], b["value"], rtol=1e-12)
+    assert (a[["cell_x", "cell_y"]].to_numpy() == b[["cell_x", "cell_y"]].to_numpy()).all()
