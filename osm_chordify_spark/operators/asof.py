@@ -18,7 +18,7 @@ match is included (the ``<=`` contract, same as DuckDB's ASOF JOIN)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,12 +77,16 @@ def asof_join(
 
     out_ts = right_ts_out or "matched_ts"
     sel = [*lcols]
-    within = (
-        F.lit(True)
-        if tolerance is None
-        else (F.col(ts_col).cast("double") - F.col("__m_ts").cast("double"))
-        <= F.lit(float(tolerance))
-    )
+    if tolerance is None:
+        within = F.lit(True)
+    elif isinstance(tolerance, Column):
+        # interval tolerance for timestamp columns: ts - ts is an
+        # interval in Spark 3.3+, directly comparable to the literal
+        within = (F.col(ts_col) - F.col("__m_ts")) <= tolerance
+    else:
+        within = (
+            F.col(ts_col).cast("double") - F.col("__m_ts").cast("double")
+        ) <= F.lit(float(tolerance))
     for v in value_cols:
         sel.append(
             F.when(within, F.col(f"__m_{v}")).alias(v)

@@ -952,19 +952,31 @@ def sample_raster(
     exactly one shuffle.
 
     Bilinear re-aggregates by ALL point columns, so point rows must be
-    unique (give duplicates a distinct id column first)."""
+    unique (give duplicates a distinct id column first).  Internal join
+    keys are namespaced — user columns named ``value``/``cell_x``/… pass
+    through untouched; only ``out_col`` may not already exist."""
     if method not in ("nearest", "bilinear"):
         raise ValueError("method must be 'nearest' or 'bilinear'")
-    cells = raster_cells(tiles, grid, drop_zero=True)
+    if out_col in points.columns:
+        raise ValueError(f"out_col {out_col!r} already exists on points")
+    cells = raster_cells(tiles, grid, drop_zero=True).select(
+        F.col("cell_x").alias("__rcx"),
+        F.col("cell_y").alias("__rcy"),
+        F.col("value").alias("__rval"),
+    )
 
     if method == "nearest":
-        pts = points.withColumn("cell_x", grid.cell_x(F.col(x_col))).withColumn(
-            "cell_y", grid.cell_y(F.col(y_col))
+        pts = points.withColumn("__pcx", grid.cell_x(F.col(x_col))).withColumn(
+            "__pcy", grid.cell_y(F.col(y_col))
         )
-        joined = pts.join(cells, ["cell_x", "cell_y"], "left")
+        joined = pts.join(
+            cells,
+            (F.col("__pcx") == F.col("__rcx")) & (F.col("__pcy") == F.col("__rcy")),
+            "left",
+        )
         return joined.withColumn(
-            out_col, F.coalesce(F.col("value"), F.lit(0.0))
-        ).drop("cell_x", "cell_y", "value")
+            out_col, F.coalesce(F.col("__rval"), F.lit(0.0))
+        ).drop("__pcx", "__pcy", "__rcx", "__rcy", "__rval")
 
     # bilinear: fractional position relative to the CENTER lattice
     fx = (F.col(x_col) - F.lit(grid.x0)) / F.lit(grid.dx) - F.lit(0.5)
@@ -984,19 +996,25 @@ def sample_raster(
         ).alias("__c"),
     ).select(
         "*",
-        (F.col("__gx") + F.col("__c.dx")).alias("cell_x"),
-        (F.col("__gy") + F.col("__c.dy")).alias("cell_y"),
+        (F.col("__gx") + F.col("__c.dx")).alias("__pcx"),
+        (F.col("__gy") + F.col("__c.dy")).alias("__pcy"),
         (
             (1 - F.abs(F.col("__tx") - F.col("__c.dx")))
             * (1 - F.abs(F.col("__ty") - F.col("__c.dy")))
         ).alias("__w"),
     )
-    joined = corners.join(cells, ["cell_x", "cell_y"], "left")
+    joined = corners.join(
+        cells,
+        (F.col("__pcx") == F.col("__rcx")) & (F.col("__pcy") == F.col("__rcy")),
+        "left",
+    )
     keys = [c for c in points.columns]
     return (
         joined.groupBy(*keys)
         .agg(
-            F.sum(F.col("__w") * F.coalesce(F.col("value"), F.lit(0.0))).alias(out_col)
+            F.sum(
+                F.col("__w") * F.coalesce(F.col("__rval"), F.lit(0.0))
+            ).alias(out_col)
         )
     )
 

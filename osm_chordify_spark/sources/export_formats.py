@@ -423,11 +423,13 @@ def read_geojson(spark, path: str, geometry_col: str = "geometry"):
         for pdf in batches:
             for content in pdf["content"]:
                 doc = _json.loads(bytes(content).decode("utf-8"))
-                feats = (
-                    doc["features"]
-                    if doc.get("type") == "FeatureCollection"
-                    else [doc]
-                )
+                t = doc.get("type")
+                if t == "FeatureCollection":
+                    feats = doc["features"]
+                elif t == "Feature":
+                    feats = [doc]
+                else:  # bare GeoJSON Geometry document
+                    feats = [{"properties": {}, "geometry": doc}]
                 rows = []
                 for f in feats:
                     props = {

@@ -59,11 +59,17 @@ def save_geotiff(tiles: DataFrame, grid: GridSpec, path: str) -> str:
     TIFF rows run top-down, so tile rows and in-tile rows are flipped
     from the grid's bottom-up cy axis."""
     T = grid.tile
+    # one materialization: the key collect AND the payload iteration both
+    # read the persisted tiles instead of re-running the upstream lineage
+    from pyspark import StorageLevel
+
+    tiles = tiles.persist(StorageLevel.MEMORY_AND_DISK)
     idx = [
         (int(r.tile_x), int(r.tile_y))
         for r in tiles.select("tile_x", "tile_y").collect()
     ]
     if not idx:
+        tiles.unpersist()
         raise ValueError("empty raster: nothing to write")
     txs = [t[0] for t in idx]
     tys = [t[1] for t in idx]
@@ -133,6 +139,9 @@ def save_geotiff(tiles: DataFrame, grid: GridSpec, path: str) -> str:
         fh.write(struct.pack("<8H", 1, 1, 0, 1, 1024, 0, 1, 2))
 
         # --- IFD ----------------------------------------------------------
+        # TIFF 6.0: a value whose total size fits 4 bytes is stored INLINE
+        # in the entry's value field, never as an offset — for n_tiles == 1
+        # the tile offset / byte count themselves go inline
         ifd_off = fh.tell()
         entries = [
             _entry(256, "LONG", 1, width),
@@ -143,8 +152,10 @@ def save_geotiff(tiles: DataFrame, grid: GridSpec, path: str) -> str:
             _entry(277, "SHORT", 1, 1),
             _entry(322, "LONG", 1, T),
             _entry(323, "LONG", 1, T),
-            _entry(324, "LONG", n_tiles, off_tileoffs),
-            _entry(325, "LONG", n_tiles, off_counts),
+            _entry(324, "LONG", n_tiles,
+                   tile_offsets[0] if n_tiles == 1 else off_tileoffs),
+            _entry(325, "LONG", n_tiles,
+                   tile_bytes if n_tiles == 1 else off_counts),
             _entry(339, "SHORT", 1, 3),       # IEEE float samples
             _entry(33550, "DOUBLE", 3, off_scale),
             _entry(33922, "DOUBLE", 6, off_tie),
@@ -155,6 +166,7 @@ def save_geotiff(tiles: DataFrame, grid: GridSpec, path: str) -> str:
         fh.write(struct.pack("<I", 0))
         fh.seek(4)
         fh.write(struct.pack("<I", ifd_off))
+    tiles.unpersist()
     return str(path)
 
 

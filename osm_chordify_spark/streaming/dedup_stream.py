@@ -5,12 +5,14 @@ Beyond-reference streaming path (the reference is batch-only, SURVEY
 records; a training-data pipeline wants exactly one row per content
 fingerprint within a bounded lateness horizon.
 
-Spark-first: the fingerprint is a pure-codegen projection
-(``xxhash64`` of the normalized text — the same exact-dedup key the
-batch operator uses, operators/dedup.py), and the dedup itself is
+Spark-first: the fingerprint is a pure-codegen projection — a
+192-bit COMPOSITE (``xxhash64`` + ``md5`` of the normalized text), so
+a false-positive drop needs a simultaneous collision in two unrelated
+hash families (< 1e-20 at 10^12 documents; a single 64-bit hash would
+hit real birthday collisions at lake scale).  The dedup itself is
 Structured Streaming's built-in ``dropDuplicatesWithinWatermark`` —
 RocksDB/HDFS-backed keyed state with watermark-driven eviction, which
-is precisely the scale story: state holds one tiny (hash) row per
+is precisely the scale story: state holds one small hash row per
 distinct fingerprint inside the horizon, not the documents themselves.
 """
 
@@ -20,10 +22,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def fingerprint_col(text_col: str = "text") -> F.Column:
-    """Content fingerprint: xxhash64 over whitespace-normalized text —
-    identical to the batch exact-dedup grouping key semantics."""
-    return F.xxhash64(F.regexp_replace(F.col(text_col), r"\s+", " "))
+def fingerprint_cols(text_col: str = "text") -> list:
+    """Composite 192-bit content fingerprint (xxhash64 + md5) over
+    whitespace-normalized text — collision-safe at lake scale, unlike
+    either hash alone."""
+    norm = F.regexp_replace(F.col(text_col), r"\s+", " ")
+    return [
+        F.xxhash64(norm).alias("fingerprint"),
+        F.md5(norm).alias("fingerprint_md5"),
+    ]
 
 
 def dedup_pages_stream(
@@ -39,9 +46,11 @@ def dedup_pages_stream(
 
     Works identically on a batch DataFrame (dropDuplicates semantics),
     which is what the tests exploit for determinism."""
-    with_fp = pages.withColumn("fingerprint", fingerprint_col(text_col))
+    fps = fingerprint_cols(text_col)
+    with_fp = pages.select("*", *fps)
+    keys = ["fingerprint", "fingerprint_md5"]
     if pages.isStreaming:
         return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            ["fingerprint"]
+            keys
         )
-    return with_fp.dropDuplicates(["fingerprint"])
+    return with_fp.dropDuplicates(keys)

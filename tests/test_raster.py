@@ -500,3 +500,42 @@ def test_raster_merge_is_incremental_fold(spark):
     assert len(a) == len(b)
     assert np.allclose(a["value"], b["value"], rtol=1e-12)
     assert (a[["cell_x", "cell_y"]].to_numpy() == b[["cell_x", "cell_y"]].to_numpy()).all()
+
+
+def test_sample_raster_survives_value_column_collision(spark):
+    """Points carrying their own 'value'/'cell_x' columns pass through
+    untouched (internal keys are namespaced)."""
+    from osm_chordify_spark.operators.raster import sample_raster
+
+    df, _ = _points(spark, n=300, seed=41)
+    tiles = rasterize_points(df, GRID, "x", "y", value_col="v", stat="sum")
+    q = spark.createDataFrame(
+        pd.DataFrame({"pid": [0, 1], "x": [0.3, 2.1], "y": [0.2, -1.7],
+                      "value": [111.0, 222.0], "cell_x": [9, 9]})
+    )
+    for method in ("nearest", "bilinear"):
+        out = sample_raster(q, tiles, GRID, method=method).toPandas()
+        assert set(out.columns) == {"pid", "x", "y", "value", "cell_x", "sampled"}
+        assert sorted(out["value"]) == [111.0, 222.0]  # untouched
+        assert sorted(out["cell_x"]) == [9, 9]
+    import pytest
+
+    with pytest.raises(ValueError, match="out_col"):
+        sample_raster(q.withColumnRenamed("value", "sampled"), tiles, GRID)
+
+
+def test_geotiff_single_tile_inline_ifd(spark, tmp_path):
+    """A raster whose extent is ONE tile must produce a spec-compliant
+    IFD (count-1 LONG values inline, not as array offsets) and round-trip."""
+    from osm_chordify_spark.sources.geotiff import read_geotiff, save_geotiff
+
+    pdf = pd.DataFrame({"x": [-9.9, -9.1], "y": [-4.9, -4.1], "v": [3.0, 5.0]})
+    tiles = rasterize_points(
+        spark.createDataFrame(pdf), GRID, "x", "y", value_col="v", stat="sum"
+    )
+    assert tiles.count() == 1
+    path = str(tmp_path / "one.tif")
+    save_geotiff(tiles, GRID, path)
+    back, bgrid = read_geotiff(spark, path)
+    cells = raster_cells(back, bgrid).toPandas()
+    assert sorted(cells["value"]) == [3.0, 5.0]
