@@ -129,3 +129,39 @@ def streaming_raster_counts(
             "n",
         )
     )
+
+
+def stream_to_snapshot_table(
+    result_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "to_snapshot",
+    trigger_available_now: bool = True,
+):
+    """Sink a streaming result into the versioned snapshot table
+    (sources/snapshot_table): every non-empty micro-batch appends one
+    committed snapshot version, so the table's manifest lineage IS the
+    stream's progress record — each version carries the batch's
+    per-partition row counters, and a killed job resumes from the
+    streaming checkpoint while readers only ever see fully committed
+    versions (the manifest rename is the atomic commit).
+
+    This closes the north-rule loop for the streaming path: stream →
+    operators → Iceberg-shaped table with per-partition lineage, not
+    just raw files."""
+    from osm_chordify_spark.sources.snapshot_table import write_snapshot
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        write_snapshot(batch_df, table_dir, mode="append")
+
+    writer = (
+        result_stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -112,3 +112,36 @@ def test_streaming_raster_counts_matches_batch(spark, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a[keys + ["n"]], b[keys + ["n"]])
+
+
+def test_stream_sinks_into_snapshot_table(spark, tmp_path):
+    """Streaming dedup → snapshot-table sink: committed versions carry
+    the rows, lineage records per-partition counters, and the final
+    table equals the batch dedup of the same input."""
+    from osm_chordify_spark.sources.snapshot_table import history, read_snapshot
+    from osm_chordify_spark.streaming.dedup_stream import dedup_pages_stream
+    from osm_chordify_spark.streaming.pages_stream import (
+        read_pages_stream,
+        stream_to_snapshot_table,
+    )
+
+    src = str(tmp_path / "st_src")
+    P.synthesize_pages(spark, SF_SMOKE).repartition(8).write.parquet(src)
+
+    table = str(tmp_path / "st_table")
+    q = stream_to_snapshot_table(
+        dedup_pages_stream(read_pages_stream(spark, src)).select(
+            "url", "doc_id", "fingerprint", "fingerprint_md5"
+        ),
+        table,
+        checkpoint_dir=str(tmp_path / "st_ck"),
+    )
+    q.awaitTermination(300)
+
+    out = read_snapshot(spark, table).toPandas()
+    assert len(out) == 500 and out["fingerprint"].is_unique
+    h = history(table)
+    assert len(h) >= 1
+    assert all(m["operation"] == "append" for m in h)
+    assert sum(m["snapshot_rows"] for m in h) == 500
+    assert all(m["partition_counts"] for m in h)  # lineage counters present
