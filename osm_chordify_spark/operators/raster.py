@@ -1169,3 +1169,28 @@ def raster_merge(a: DataFrame, b: DataFrame, grid: GridSpec, stat: str = "sum"):
         .agg(_STATS[stat](F.col("val")).cast("double").alias("v"))
     )
     return _assemble_tiles(per_cell, grid.tile)
+
+
+def contour_regions(
+    tiles: DataFrame,
+    grid: GridSpec,
+    level: float,
+    boundary: bool = True,
+    **vectorize_kw,
+) -> DataFrame:
+    """Iso-level regions: threshold the raster at ``level`` (cells with
+    value ≥ level) and extract the connected regions with their exact
+    rectilinear boundary polygons — a composition of a codegen
+    threshold map over the tile arrays and :func:`vectorize_regions`
+    (the classic cell-resolution contour/hotspot extraction)."""
+    thresh = tiles.select(
+        "tile_x",
+        "tile_y",
+        F.transform(
+            "data",
+            lambda v: F.when(v >= F.lit(float(level)), F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        ).alias("data"),
+    ).filter(F.exists("data", lambda v: v != 0.0))
+    return vectorize_regions(thresh, grid, boundary=boundary, **vectorize_kw)

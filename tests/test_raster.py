@@ -539,3 +539,34 @@ def test_geotiff_single_tile_inline_ifd(spark, tmp_path):
     back, bgrid = read_geotiff(spark, path)
     cells = raster_cells(back, bgrid).toPandas()
     assert sorted(cells["value"]) == [3.0, 5.0]
+
+
+def test_contour_regions_hotspots(spark):
+    """Thresholding a density field and contouring returns the exact
+    hotspot rectangles (composition of threshold + vectorize)."""
+    from osm_chordify_spark.operators.raster import contour_regions
+
+    # two dense blocks of value 9, background of value 1
+    cells = []
+    for cx in range(-20, 20):
+        for cy in range(-10, 10):
+            v = 9.0 if (0 <= cx < 4 and 0 <= cy < 4) or (
+                10 <= cx < 12 and -8 <= cy < -6) else 1.0
+            cells.append((cx, cy, v))
+    pdf = pd.DataFrame(cells, columns=["cell_x", "cell_y", "value"])
+    pts = spark.createDataFrame(pdf).select(
+        (F.lit(GRID.x0) + (F.col("cell_x") + 0.5) * GRID.dx).alias("x"),
+        (F.lit(GRID.y0) + (F.col("cell_y") + 0.5) * GRID.dy).alias("y"),
+        F.col("value").alias("v"),
+    )
+    tiles = rasterize_points(pts, GRID, "x", "y", value_col="v", stat="max")
+    got = contour_regions(tiles, GRID, level=5.0).toPandas()
+    assert len(got) == 2
+    sizes = sorted(got["n_cells"])
+    assert sizes == [4, 16]
+    for r in got.itertuples():
+        polys = G.geometry_polygons(bytes(r.geometry))
+        assert len(polys) == 1 and len(polys[0]) == 1  # solid rectangles
+        assert np.isclose(
+            abs(G.shoelace_area(polys[0][0])), r.n_cells * GRID.dx * GRID.dy
+        )
