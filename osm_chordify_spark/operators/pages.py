@@ -169,7 +169,12 @@ def pip_assign(
     Keeps every input column and appends ``zone_col``.  ``how='left'``
     keeps unmatched points with NULL zone (reference
     spatial_left_join_with_zones, intersect.py:1497-1554); ``'inner'``
-    drops them (sjoin intersects).  Points matching k zones emit k rows."""
+    drops them (sjoin intersects); ``'nearest'`` gives EVERY point
+    exactly one zone — containing zone if any (ties → smallest
+    ordinal), else the zone with minimum exact boundary distance
+    (ZoneIndex.assign_points_nearest; the sjoin_nearest analog for
+    centroids just outside their TAZ).  Points matching k zones emit
+    k rows for inner/left, exactly 1 row for nearest."""
     zones = zones if zones is not None else make_zone_grid()
     index = ZoneIndex.build(zones, res=res)
     spark = df.sparkSession
@@ -188,6 +193,14 @@ def pip_assign(
         for pdf in batches:
             x = pdf[lon_c].to_numpy(dtype=np.float64)
             y = pdf[lat_c].to_numpy(dtype=np.float64)
+            if how == "nearest":
+                zn, _dist = idx.assign_points_nearest(x, y)
+                out = pdf.copy()
+                out[zone_col] = [
+                    zone_ids[z] if z >= 0 else None for z in zn
+                ]
+                yield out
+                continue
             pts, zs = idx.assign_points(x, y)
             matched = pdf.iloc[pts].copy()
             matched[zone_col] = zone_ids[zs] if len(zs) else np.array([], object)

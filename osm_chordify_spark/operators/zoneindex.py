@@ -204,3 +204,68 @@ class ZoneIndex:
         offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
         flat = np.arange(total, dtype=np.int64) + np.repeat(starts - offs, counts)
         return out_i, self.cand_zone[flat], self.cand_full[flat]
+
+
+    def assign_points_nearest(self, x: np.ndarray, y: np.ndarray,
+                              max_ring: int = 64):
+        """PIP assignment with nearest-zone fallback: every point gets
+        exactly one zone — its containing zone (ties → smallest
+        ordinal), else the zone with the minimum exact distance to its
+        boundary (point-to-segment over the zone rings).
+
+        Returns (zone_ordinal int32 array aligned with x — -1 only if no
+        zone within ``max_ring`` index cells, dist float64 array; dist
+        is 0 for contained points).  The candidate search expands cell
+        rings over the covering-cell index; a ring-r stop bound holds
+        because any zone with no cover cell inside ring r has its whole
+        boundary ≥ (r-1)·cell_min away."""
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        out_zone = np.full(len(x), -1, dtype=np.int32)
+        out_dist = np.zeros(len(x), dtype=np.float64)
+        pts, zs = self.assign_points(x, y)
+        if len(pts):
+            # smallest ordinal wins for points in multiple zones
+            order = np.argsort(zs, kind="stable")[::-1]
+            out_zone[pts[order]] = zs[order]
+        todo = np.nonzero(out_zone < 0)[0]
+        if len(todo) == 0:
+            return out_zone, out_dist
+
+        x0, y0, x1, y1 = self.world
+        n = 1 << self.res
+        cell_min = min((x1 - x0) / n, (y1 - y0) / n)
+
+        def zone_dist(px, py, ordinal):
+            best = np.inf
+            for rings in self.zone_rings[ordinal]:
+                for ring in rings:
+                    r = G.ring_close(ring)
+                    d = G.point_segment_dist(
+                        px, py, r[:-1, 0], r[:-1, 1], r[1:, 0], r[1:, 1]
+                    )
+                    best = min(best, float(np.min(d)))
+            return best
+
+        for i in todo:
+            pc = ci.cell_at(x[i], y[i], self.res, self.world)
+            seen: set = set()
+            best_z, best_d = -1, np.inf
+            for r in range(0, max_ring + 1):
+                cells = ci.kring(pc, r) if r else np.array([pc], dtype=np.int64)
+                _pos, zcand, _full = self.candidates_for_cells(
+                    np.unique(cells)
+                )
+                fresh = [z for z in np.unique(zcand) if z not in seen]
+                for z in fresh:
+                    seen.add(int(z))
+                    d = zone_dist(x[i], y[i], int(z))
+                    if d < best_d or (d == best_d and z < best_z):
+                        best_z, best_d = int(z), d
+                # stop once no unseen zone can beat the best: zones with
+                # no cover cell within ring r are >= (r-1)*cell_min away
+                if best_z >= 0 and best_d <= max(r - 1, 0) * cell_min:
+                    break
+            out_zone[i] = best_z
+            out_dist[i] = best_d if np.isfinite(best_d) else 0.0
+        return out_zone, out_dist

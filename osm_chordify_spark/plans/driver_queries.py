@@ -1941,3 +1941,49 @@ def events_asof_last_signup(spark, sf_dir):
         "event_id", "user_id",
         F.col("value").alias("signup_value"), "matched_ts",
     )
+
+
+_NEAREST_DISTS = """
+, dists as (
+  select url, lon, lat,
+         sqrt(power(greatest(-13e1 - lon, lon - (-1e2), 0e0), 2)
+            + power(greatest(2e1 - lat, lat - 4e1, 0e0), 2)) as da,
+         sqrt(power(greatest(-4e1 - lon, lon - (-1e1), 0e0), 2)
+            + power(greatest(6e1 - lat, lat - 8e1, 0e0), 2)) as db
+  from coords
+)
+"""
+
+
+@register(
+    "pages_nearest_zone",
+    oracle=_PAGES_COORDS_CTE.rstrip() + _NEAREST_DISTS + """
+select url, case when da <= db then 'Z0_0' else 'Z2_3' end as zone_id
+from dists where abs(da - db) > 1e-6
+""",
+)
+def pages_nearest_zone(spark, sf_dir):
+    """sjoin_nearest analog: with only 2 of the 12 zones kept, most
+    pages fall OUTSIDE every zone and must be assigned to the zone with
+    the minimum exact boundary distance (pip_assign(how='nearest') →
+    ZoneIndex.assign_points_nearest, expanding cell-ring candidate
+    search with the (r-1)·cell_min stop bound).  The oracle computes
+    rectangle distances in closed form; near-bisector points (gap ≤
+    1e-6, where fp could legitimately flip the argmin) are excluded by
+    the IDENTICAL filter on both sides."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://example.org/page/"), F.col("doc_id")).alias("url"),
+        P.lon_col().alias("lon"),
+        P.lat_col().alias("lat"),
+    )
+    zones = [z for z in P.make_zone_grid() if z[0] in ("Z0_0", "Z2_3")]
+    assigned = P.pip_assign(docs, zones=zones, res=7, how="nearest")
+    da = F.sqrt(
+        F.pow(F.greatest(F.lit(-130.0) - F.col("lon"), F.col("lon") - F.lit(-100.0), F.lit(0.0)), F.lit(2.0))
+        + F.pow(F.greatest(F.lit(20.0) - F.col("lat"), F.col("lat") - F.lit(40.0), F.lit(0.0)), F.lit(2.0))
+    )
+    db = F.sqrt(
+        F.pow(F.greatest(F.lit(-40.0) - F.col("lon"), F.col("lon") - F.lit(-10.0), F.lit(0.0)), F.lit(2.0))
+        + F.pow(F.greatest(F.lit(60.0) - F.col("lat"), F.col("lat") - F.lit(80.0), F.lit(0.0)), F.lit(2.0))
+    )
+    return assigned.filter(F.abs(da - db) > 1e-6).select("url", "zone_id")

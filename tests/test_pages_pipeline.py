@@ -150,3 +150,55 @@ def test_stateful_streaming_sessionization(spark, tmp_path):
     assert s1["n_events"] == 2
     assert s1["total_value"] == 3.0
     assert s1["session_end"] == t0 + 5 * m
+
+
+def test_nearest_zone_assignment_brute_force(spark):
+    """pip_assign(how='nearest') matches a brute-force exact nearest
+    zone on polygon (triangle) zones, including containment priority
+    and the smallest-ordinal tie rule."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_chordify_spark import geom as G
+    from osm_chordify_spark.operators import pages as P
+
+    tri_a = np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 4.0]])
+    tri_b = np.array([[10.0, 0.0], [14.0, 0.0], [14.0, 4.0]])
+    zones = [("A", [tri_a]), ("B", [tri_b])]
+    rng = np.random.default_rng(43)
+    pdf = pd.DataFrame({
+        "pid": np.arange(200),
+        "lon": rng.uniform(-3.0, 17.0, 200),
+        "lat": rng.uniform(-3.0, 7.0, 200),
+    })
+    out = (
+        P.pip_assign(spark.createDataFrame(pdf), zones=zones, res=8,
+                     how="nearest")
+        .toPandas().set_index("pid")["zone_id"]
+    )
+
+    def dist_to(rings, px, py):
+        best = np.inf
+        r = G.ring_close(rings[0])
+        for i in range(len(r) - 1):
+            best = min(best, float(G.point_segment_dist(
+                px, py, r[i, 0], r[i, 1], r[i + 1, 0], r[i + 1, 1])))
+        return best
+
+    for row in pdf.itertuples():
+        in_a = bool(G.point_in_polygon(
+            np.array([row.lon]), np.array([row.lat]), [tri_a])[0])
+        in_b = bool(G.point_in_polygon(
+            np.array([row.lon]), np.array([row.lat]), [tri_b])[0])
+        if in_a:
+            exp = "A"  # containment wins (and ordinal tie rule: A first)
+        elif in_b:
+            exp = "B"
+        else:
+            da = dist_to([tri_a], row.lon, row.lat)
+            db = dist_to([tri_b], row.lon, row.lat)
+            if abs(da - db) < 1e-12:
+                exp = "A"
+            else:
+                exp = "A" if da < db else "B"
+        assert out.loc[row.pid] == exp, (row.pid, row.lon, row.lat)
