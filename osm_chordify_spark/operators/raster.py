@@ -198,6 +198,15 @@ def raster_cells(tiles: DataFrame, grid: GridSpec, drop_zero: bool = True) -> Da
     )
 
 
+def _fold_cells(cells: DataFrame, stat: str, T: int) -> DataFrame:
+    """Shared (cx, cy, val) → aggregate → tiles fold used by resample,
+    regrid and raster_merge — one place owns the stat cast convention."""
+    per_cell = cells.groupBy("cx", "cy").agg(
+        _STATS[stat](F.col("val")).cast("double").alias("v")
+    )
+    return _assemble_tiles(per_cell, T)
+
+
 def resample(tiles: DataFrame, grid: GridSpec, factor: int, stat: str = "sum"):
     """Coarsen the raster by an integer factor (raster → raster).
 
@@ -211,10 +220,7 @@ def resample(tiles: DataFrame, grid: GridSpec, factor: int, stat: str = "sum"):
         F.floor(F.col("cell_y") / F.lit(factor)).cast("long").alias("cy"),
         F.col("value").alias("val"),
     )
-    per_cell = coarse.groupBy("cx", "cy").agg(
-        _STATS[stat](F.col("val")).cast("double").alias("v")
-    )
-    return _assemble_tiles(per_cell, grid.tile), grid.coarsen(factor)
+    return _fold_cells(coarse, stat, grid.tile), grid.coarsen(factor)
 
 
 # ---------------------------------------------------------------------------
@@ -1137,16 +1143,15 @@ def regrid(
         (F.lit(grid.y0) + (F.col("cell_y") + F.lit(0.5)) * grid.dy).alias("__wy"),
         F.col("value").alias("val"),
     )
-    per_cell = (
+    return _fold_cells(
         centers.select(
             target.cell_x(F.col("__wx")).alias("cx"),
             target.cell_y(F.col("__wy")).alias("cy"),
             "val",
-        )
-        .groupBy("cx", "cy")
-        .agg(_STATS[stat](F.col("val")).cast("double").alias("v"))
+        ),
+        stat,
+        target.tile,
     )
-    return _assemble_tiles(per_cell, target.tile)
 
 
 def raster_merge(a: DataFrame, b: DataFrame, grid: GridSpec, stat: str = "sum"):
@@ -1159,16 +1164,15 @@ def raster_merge(a: DataFrame, b: DataFrame, grid: GridSpec, stat: str = "sum"):
     cells = raster_cells(a, grid, drop_zero=True).unionByName(
         raster_cells(b, grid, drop_zero=True)
     )
-    per_cell = (
+    return _fold_cells(
         cells.select(
             F.col("cell_x").alias("cx"),
             F.col("cell_y").alias("cy"),
             F.col("value").alias("val"),
-        )
-        .groupBy("cx", "cy")
-        .agg(_STATS[stat](F.col("val")).cast("double").alias("v"))
+        ),
+        stat,
+        grid.tile,
     )
-    return _assemble_tiles(per_cell, grid.tile)
 
 
 def contour_regions(

@@ -213,22 +213,32 @@ class ZoneIndex:
         ordinal), else the zone with the minimum exact distance to its
         boundary (point-to-segment over the zone rings).
 
-        Returns (zone_ordinal int32 array aligned with x — -1 only if no
-        zone within ``max_ring`` index cells, dist float64 array; dist
-        is 0 for contained points).  The candidate search expands cell
-        rings over the covering-cell index; a ring-r stop bound holds
-        because any zone with no cover cell inside ring r has its whole
-        boundary ≥ (r-1)·cell_min away."""
+        Returns (zone_ordinal int32 array aligned with x, dist float64
+        array; dist is 0 for contained points).  Ordinal is -1 for
+        non-finite coordinates and for points with no zone within
+        ``max_ring`` index cells (callers wanting a hard every-point
+        guarantee should size max_ring to their domain — the default
+        covers 64 cells ≈ half the world at res 7).  The candidate
+        search expands cell-ring SHELLS over the covering-cell index;
+        the ring-r stop bound holds because any zone with no cover cell
+        inside ring r has its whole boundary ≥ (r-1)·cell_min away, and
+        the loop exits early once every zone has been scored."""
         x = np.asarray(x, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
         out_zone = np.full(len(x), -1, dtype=np.int32)
         out_dist = np.zeros(len(x), dtype=np.float64)
-        pts, zs = self.assign_points(x, y)
+        finite = np.isfinite(x) & np.isfinite(y)
+        pts, zs = self.assign_points(
+            np.where(finite, x, 0.0), np.where(finite, y, 0.0)
+        )
+        if len(pts):
+            keep = finite[pts]
+            pts, zs = pts[keep], zs[keep]
         if len(pts):
             # smallest ordinal wins for points in multiple zones
             order = np.argsort(zs, kind="stable")[::-1]
             out_zone[pts[order]] = zs[order]
-        todo = np.nonzero(out_zone < 0)[0]
+        todo = np.nonzero((out_zone < 0) & finite)[0]
         if len(todo) == 0:
             return out_zone, out_dist
 
@@ -247,12 +257,14 @@ class ZoneIndex:
                     best = min(best, float(np.min(d)))
             return best
 
+        n_zones = len(self.zone_ids)
         for i in todo:
             pc = ci.cell_at(x[i], y[i], self.res, self.world)
             seen: set = set()
             best_z, best_d = -1, np.inf
             for r in range(0, max_ring + 1):
-                cells = ci.kring(pc, r) if r else np.array([pc], dtype=np.int64)
+                # incremental shell, not the full disk re-probed per round
+                cells = ci.ring_only(pc, r)
                 _pos, zcand, _full = self.candidates_for_cells(
                     np.unique(cells)
                 )
@@ -262,6 +274,8 @@ class ZoneIndex:
                     d = zone_dist(x[i], y[i], int(z))
                     if d < best_d or (d == best_d and z < best_z):
                         best_z, best_d = int(z), d
+                if len(seen) == n_zones:
+                    break  # every zone scored exactly — nothing left
                 # stop once no unseen zone can beat the best: zones with
                 # no cover cell within ring r are >= (r-1)*cell_min away
                 if best_z >= 0 and best_d <= max(r - 1, 0) * cell_min:

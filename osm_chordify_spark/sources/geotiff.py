@@ -58,18 +58,24 @@ def save_geotiff(tiles: DataFrame, grid: GridSpec, path: str) -> str:
     inside it are zero (they share one zero tile's offset on disk).
     TIFF rows run top-down, so tile rows and in-tile rows are flipped
     from the grid's bottom-up cy axis."""
-    T = grid.tile
     # one materialization: the key collect AND the payload iteration both
     # read the persisted tiles instead of re-running the upstream lineage
     from pyspark import StorageLevel
 
     tiles = tiles.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _save_geotiff_persisted(tiles, grid, path)
+    finally:
+        tiles.unpersist()
+
+
+def _save_geotiff_persisted(tiles: DataFrame, grid: GridSpec, path: str) -> str:
+    T = grid.tile
     idx = [
         (int(r.tile_x), int(r.tile_y))
         for r in tiles.select("tile_x", "tile_y").collect()
     ]
     if not idx:
-        tiles.unpersist()
         raise ValueError("empty raster: nothing to write")
     txs = [t[0] for t in idx]
     tys = [t[1] for t in idx]
@@ -166,7 +172,6 @@ def save_geotiff(tiles: DataFrame, grid: GridSpec, path: str) -> str:
         fh.write(struct.pack("<I", 0))
         fh.seek(4)
         fh.write(struct.pack("<I", ifd_off))
-    tiles.unpersist()
     return str(path)
 
 

@@ -60,7 +60,8 @@ def load_manifest(table_dir: str, version: int | None = None) -> dict:
 
 
 def write_snapshot(
-    df: DataFrame, table_dir: str, mode: str = "overwrite"
+    df: DataFrame, table_dir: str, mode: str = "overwrite",
+    props: dict | None = None,
 ) -> dict:
     """Write ``df`` as the table's next snapshot; returns the manifest.
 
@@ -106,6 +107,9 @@ def write_snapshot(
         "partition_counts": {str(r["p"]): int(r["count"]) for r in per_part},
         "write_sec": round(time.perf_counter() - t0, 3),
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        # caller-supplied commit properties (e.g. the streaming sink's
+        # batch_id for replay idempotence)
+        "props": dict(props or {}),
     }
     tmp = _manifest_path(table_dir, version) + f".tmp.{snap_id}"
     with open(tmp, "w") as fh:

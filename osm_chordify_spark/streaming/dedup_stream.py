@@ -47,7 +47,9 @@ def dedup_pages_stream(
     Works identically on a batch DataFrame (dropDuplicates semantics),
     which is what the tests exploit for determinism."""
     fps = fingerprint_cols(text_col)
-    with_fp = pages.select("*", *fps)
+    # re-deduping already-fingerprinted input must replace, not duplicate
+    base = pages.drop("fingerprint", "fingerprint_md5")
+    with_fp = base.select("*", *fps)
     keys = ["fingerprint", "fingerprint_md5"]
     if pages.isStreaming:
         return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(

@@ -148,13 +148,37 @@ def stream_to_snapshot_table(
 
     This closes the north-rule loop for the streaming path: stream →
     operators → Iceberg-shaped table with per-partition lineage, not
-    just raw files."""
-    from osm_chordify_spark.sources.snapshot_table import write_snapshot
+    just raw files.
+
+    IDEMPOTENT against micro-batch replay: each manifest records its
+    ``batch_id``; a batch re-delivered after a crash between the
+    manifest commit and the streaming-checkpoint commit is detected
+    (last committed batch_id ≥ current) and skipped, so exactly one
+    version per batch survives."""
+    from osm_chordify_spark.sources.snapshot_table import (
+        latest_version,
+        load_manifest,
+        write_snapshot,
+    )
 
     def sink(batch_df: DataFrame, batch_id: int):
-        if batch_df.isEmpty():
-            return
-        write_snapshot(batch_df, table_dir, mode="append")
+        v = latest_version(table_dir)
+        if v is not None:
+            last = load_manifest(table_dir, v).get("props", {}).get("batch_id")
+            if last is not None and int(last) >= batch_id:
+                return  # replayed batch: already committed
+        from pyspark import StorageLevel
+
+        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if batch_df.isEmpty():
+                return
+            write_snapshot(
+                batch_df, table_dir, mode="append",
+                props={"batch_id": batch_id},
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = (
         result_stream.writeStream.foreachBatch(sink)
