@@ -131,30 +131,9 @@ def streaming_raster_counts(
     )
 
 
-def stream_to_snapshot_table(
-    result_stream: DataFrame,
-    table_dir: str,
-    checkpoint_dir: str,
-    query_name: str = "to_snapshot",
-    trigger_available_now: bool = True,
-):
-    """Sink a streaming result into the versioned snapshot table
-    (sources/snapshot_table): every non-empty micro-batch appends one
-    committed snapshot version, so the table's manifest lineage IS the
-    stream's progress record — each version carries the batch's
-    per-partition row counters, and a killed job resumes from the
-    streaming checkpoint while readers only ever see fully committed
-    versions (the manifest rename is the atomic commit).
-
-    This closes the north-rule loop for the streaming path: stream →
-    operators → Iceberg-shaped table with per-partition lineage, not
-    just raw files.
-
-    IDEMPOTENT against micro-batch replay: each manifest records its
-    ``batch_id``; a batch re-delivered after a crash between the
-    manifest commit and the streaming-checkpoint commit is detected
-    (last committed batch_id ≥ current) and skipped, so exactly one
-    version per batch survives."""
+def make_snapshot_sink(table_dir: str):
+    """The foreachBatch callable stream_to_snapshot_table installs —
+    exposed so tests can drive replay semantics directly."""
     from osm_chordify_spark.sources.snapshot_table import (
         latest_version,
         load_manifest,
@@ -180,8 +159,35 @@ def stream_to_snapshot_table(
         finally:
             batch_df.unpersist()
 
+    return sink
+
+
+def stream_to_snapshot_table(
+    result_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "to_snapshot",
+    trigger_available_now: bool = True,
+):
+    """Sink a streaming result into the versioned snapshot table
+    (sources/snapshot_table): every non-empty micro-batch appends one
+    committed snapshot version, so the table's manifest lineage IS the
+    stream's progress record — each version carries the batch's
+    per-partition row counters, and a killed job resumes from the
+    streaming checkpoint while readers only ever see fully committed
+    versions (the manifest rename is the atomic commit).
+
+    This closes the north-rule loop for the streaming path: stream →
+    operators → Iceberg-shaped table with per-partition lineage, not
+    just raw files.
+
+    IDEMPOTENT against micro-batch replay: each manifest records its
+    ``batch_id``; a batch re-delivered after a crash between the
+    manifest commit and the streaming-checkpoint commit is detected
+    (last committed batch_id ≥ current) and skipped, so exactly one
+    version per batch survives."""
     writer = (
-        result_stream.writeStream.foreachBatch(sink)
+        result_stream.writeStream.foreachBatch(make_snapshot_sink(table_dir))
         .outputMode("append")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)

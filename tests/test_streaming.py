@@ -158,26 +158,10 @@ def test_snapshot_sink_is_idempotent_on_replay(spark, tmp_path):
     table = str(tmp_path / "idem_table")
     df = spark.createDataFrame(pd.DataFrame({"a": [1, 2, 3]}))
 
-    # drive the foreachBatch sink directly with a simulated replay
-    import osm_chordify_spark.streaming.pages_stream as PS
+    # drive the REAL foreachBatch closure with a simulated replay
+    from osm_chordify_spark.streaming.pages_stream import make_snapshot_sink
 
-    captured = {}
-    orig = PS.stream_to_snapshot_table
-
-    # reconstruct the sink closure the writer would use
-    from osm_chordify_spark.sources.snapshot_table import (
-        latest_version, load_manifest, write_snapshot,
-    )
-
-    def sink(batch_df, batch_id):
-        v = latest_version(table)
-        if v is not None:
-            last = load_manifest(table, v).get("props", {}).get("batch_id")
-            if last is not None and int(last) >= batch_id:
-                return
-        write_snapshot(batch_df, table, mode="append",
-                       props={"batch_id": batch_id})
-
+    sink = make_snapshot_sink(table)
     sink(df, 0)
     sink(df, 0)  # replay after simulated crash
     sink(df, 1)
