@@ -44,32 +44,45 @@ from osm_chordify_spark.operators.raster import (
 
 _II = b"II"
 _MAGIC = 42
-_TAG_TYPES = {"SHORT": 3, "LONG": 4, "DOUBLE": 12}
+_MAGIC_BIG = 43  # BigTIFF: 64-bit offsets, 20-byte IFD entries
+_TAG_TYPES = {"SHORT": 3, "LONG": 4, "DOUBLE": 12, "LONG8": 16}
 
 
 def _entry(tag: int, typ: str, count: int, value_or_off: int) -> bytes:
     return struct.pack("<HHII", tag, _TAG_TYPES[typ], count, value_or_off)
 
 
-def save_geotiff(tiles: DataFrame, grid: GridSpec, path: str) -> str:
+def _entry8(tag: int, typ: str, count: int, value_or_off: int) -> bytes:
+    return struct.pack("<HHQQ", tag, _TAG_TYPES[typ], count, value_or_off)
+
+
+def save_geotiff(
+    tiles: DataFrame, grid: GridSpec, path: str, bigtiff: bool | None = None
+) -> str:
     """Write the raster as a tiled single-band float64 GeoTIFF.
 
     The image extent is the bounding box of present tiles; absent tiles
     inside it are zero (they share one zero tile's offset on disk).
     TIFF rows run top-down, so tile rows and in-tile rows are flipped
-    from the grid's bottom-up cy axis."""
+    from the grid's bottom-up cy axis.
+
+    ``bigtiff`` None (default) auto-selects: classic TIFF below the
+    4 GiB uint32-offset ceiling, BigTIFF (magic 43, 64-bit offsets)
+    above it — so lake-scale rasters export without a guard."""
     # one materialization: the key collect AND the payload iteration both
     # read the persisted tiles instead of re-running the upstream lineage
     from pyspark import StorageLevel
 
     tiles = tiles.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        return _save_geotiff_persisted(tiles, grid, path)
+        return _save_geotiff_persisted(tiles, grid, path, bigtiff)
     finally:
         tiles.unpersist()
 
 
-def _save_geotiff_persisted(tiles: DataFrame, grid: GridSpec, path: str) -> str:
+def _save_geotiff_persisted(
+    tiles: DataFrame, grid: GridSpec, path: str, bigtiff: bool | None
+) -> str:
     T = grid.tile
     idx = [
         (int(r.tile_x), int(r.tile_y))
@@ -85,13 +98,12 @@ def _save_geotiff_persisted(tiles: DataFrame, grid: GridSpec, path: str) -> str:
     nty = ty1 - ty0 + 1
     width, height = ntx * T, nty * T
     tile_bytes = T * T * 8
-    # classic TIFF offsets are uint32: refuse rather than wrap past 4 GB
-    # (BigTIFF would lift this; parquet tiles are the lake-scale path)
-    est = (len(idx) + 1) * tile_bytes + (ntx * nty) * 8 + 4096
-    if est >= (1 << 32):
+    est = (len(idx) + 1) * tile_bytes + (ntx * nty) * 16 + 4096
+    big = bool(bigtiff) if bigtiff is not None else est >= (1 << 32) - (1 << 20)
+    if not big and est >= (1 << 32):
         raise ValueError(
-            f"raster would need ~{est / 2**30:.1f} GiB — beyond classic "
-            "TIFF's 4 GiB uint32 offsets; keep tiles in parquet at this scale"
+            f"raster needs ~{est / 2**30:.1f} GiB — beyond classic TIFF's "
+            "4 GiB uint32 offsets; pass bigtiff=True (or leave it None)"
         )
 
     def encode(batches):
@@ -112,7 +124,11 @@ def _save_geotiff_persisted(tiles: DataFrame, grid: GridSpec, path: str) -> str:
     offsets = {}
     zero_off = None
     with open(path, "wb") as fh:
-        fh.write(_II + struct.pack("<H", _MAGIC) + struct.pack("<I", 0))
+        if big:
+            fh.write(_II + struct.pack("<H", _MAGIC_BIG)
+                     + struct.pack("<HH", 8, 0) + struct.pack("<Q", 0))
+        else:
+            fh.write(_II + struct.pack("<H", _MAGIC) + struct.pack("<I", 0))
         zero_off = fh.tell()
         fh.write(b"\x00" * tile_bytes)  # the shared empty tile
         for row in payloads.toLocalIterator():
@@ -128,10 +144,11 @@ def _save_geotiff_persisted(tiles: DataFrame, grid: GridSpec, path: str) -> str:
         n_tiles = len(tile_offsets)
 
         # --- out-of-line arrays -------------------------------------------
+        ofmt = "Q" if big else "I"
         off_tileoffs = fh.tell()
-        fh.write(struct.pack(f"<{n_tiles}I", *tile_offsets))
+        fh.write(struct.pack(f"<{n_tiles}{ofmt}", *tile_offsets))
         off_counts = fh.tell()
-        fh.write(struct.pack(f"<{n_tiles}I", *([tile_bytes] * n_tiles)))
+        fh.write(struct.pack(f"<{n_tiles}{ofmt}", *([tile_bytes] * n_tiles)))
         # georeferencing: pixel scale + tiepoint at the image's TOP-left
         off_scale = fh.tell()
         fh.write(struct.pack("<3d", grid.dx, grid.dy, 0.0))
@@ -145,52 +162,78 @@ def _save_geotiff_persisted(tiles: DataFrame, grid: GridSpec, path: str) -> str:
         fh.write(struct.pack("<8H", 1, 1, 0, 1, 1024, 0, 1, 2))
 
         # --- IFD ----------------------------------------------------------
-        # TIFF 6.0: a value whose total size fits 4 bytes is stored INLINE
-        # in the entry's value field, never as an offset — for n_tiles == 1
-        # the tile offset / byte count themselves go inline
+        # TIFF: a value fitting the entry's value field (4 bytes classic,
+        # 8 BigTIFF) is stored INLINE, never as an offset — for
+        # n_tiles == 1 the tile offset / byte count themselves go inline
         ifd_off = fh.tell()
+        mk = _entry8 if big else _entry
+        otyp = "LONG8" if big else "LONG"
         entries = [
-            _entry(256, "LONG", 1, width),
-            _entry(257, "LONG", 1, height),
-            _entry(258, "SHORT", 1, 64),
-            _entry(259, "SHORT", 1, 1),       # no compression
-            _entry(262, "SHORT", 1, 1),       # BlackIsZero
-            _entry(277, "SHORT", 1, 1),
-            _entry(322, "LONG", 1, T),
-            _entry(323, "LONG", 1, T),
-            _entry(324, "LONG", n_tiles,
-                   tile_offsets[0] if n_tiles == 1 else off_tileoffs),
-            _entry(325, "LONG", n_tiles,
-                   tile_bytes if n_tiles == 1 else off_counts),
-            _entry(339, "SHORT", 1, 3),       # IEEE float samples
-            _entry(33550, "DOUBLE", 3, off_scale),
-            _entry(33922, "DOUBLE", 6, off_tie),
-            _entry(34735, "SHORT", 8, off_geokeys),
+            mk(256, "LONG", 1, width),
+            mk(257, "LONG", 1, height),
+            mk(258, "SHORT", 1, 64),
+            mk(259, "SHORT", 1, 1),       # no compression
+            mk(262, "SHORT", 1, 1),       # BlackIsZero
+            mk(277, "SHORT", 1, 1),
+            mk(322, "LONG", 1, T),
+            mk(323, "LONG", 1, T),
+            mk(324, otyp, n_tiles,
+               tile_offsets[0] if n_tiles == 1 else off_tileoffs),
+            mk(325, otyp, n_tiles,
+               tile_bytes if n_tiles == 1 else off_counts),
+            mk(339, "SHORT", 1, 3),       # IEEE float samples
+            mk(33550, "DOUBLE", 3, off_scale),
+            mk(33922, "DOUBLE", 6, off_tie),
+            mk(34735, "SHORT", 8, off_geokeys),
         ]
-        fh.write(struct.pack("<H", len(entries)))
-        fh.write(b"".join(entries))
-        fh.write(struct.pack("<I", 0))
-        fh.seek(4)
-        fh.write(struct.pack("<I", ifd_off))
+        if big:
+            fh.write(struct.pack("<Q", len(entries)))
+            fh.write(b"".join(entries))
+            fh.write(struct.pack("<Q", 0))
+            fh.seek(8)
+            fh.write(struct.pack("<Q", ifd_off))
+        else:
+            fh.write(struct.pack("<H", len(entries)))
+            fh.write(b"".join(entries))
+            fh.write(struct.pack("<I", 0))
+            fh.seek(4)
+            fh.write(struct.pack("<I", ifd_off))
     return str(path)
 
 
 def _parse_ifd(path: str) -> dict:
     with open(path, "rb") as fh:
-        head = fh.read(8)
-        if head[:2] != _II or struct.unpack("<H", head[2:4])[0] != _MAGIC:
+        head = fh.read(16)
+        if head[:2] != _II:
             raise ValueError("not a little-endian TIFF")
-        (ifd_off,) = struct.unpack("<I", head[4:8])
+        magic = struct.unpack("<H", head[2:4])[0]
+        if magic == _MAGIC:
+            big = False
+            (ifd_off,) = struct.unpack("<I", head[4:8])
+        elif magic == _MAGIC_BIG:
+            big = True
+            (ifd_off,) = struct.unpack("<Q", head[8:16])
+        else:
+            raise ValueError(f"unknown TIFF magic {magic}")
         fh.seek(ifd_off)
-        (n,) = struct.unpack("<H", fh.read(2))
+        if big:
+            (n,) = struct.unpack("<Q", fh.read(8))
+        else:
+            (n,) = struct.unpack("<H", fh.read(2))
         tags = {}
         for _ in range(n):
-            tag, typ, count, val = struct.unpack("<HHII", fh.read(12))
+            if big:
+                tag, typ, count, val = struct.unpack("<HHQQ", fh.read(20))
+            else:
+                tag, typ, count, val = struct.unpack("<HHII", fh.read(12))
             tags[tag] = (typ, count, val)
+        inline_cap = 8 if big else 4
 
         def arr(tag, fmt, size):
             typ, count, val = tags[tag]
-            if count * size <= 4:
+            if typ == _TAG_TYPES["LONG8"]:
+                fmt, size = "Q", 8
+            if count * size <= inline_cap:
                 return [val]
             fh.seek(val)
             return list(struct.unpack(f"<{count}{fmt}", fh.read(count * size)))

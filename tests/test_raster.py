@@ -570,3 +570,28 @@ def test_contour_regions_hotspots(spark):
         assert np.isclose(
             abs(G.shoelace_area(polys[0][0])), r.n_cells * GRID.dx * GRID.dy
         )
+
+
+def test_bigtiff_roundtrip(spark, tmp_path):
+    """bigtiff=True writes magic 43 with 64-bit offsets and round-trips
+    identically to the classic container."""
+    import struct
+
+    from osm_chordify_spark.sources.geotiff import read_geotiff, save_geotiff
+
+    df, _ = _points(spark, n=900, seed=21)
+    tiles = rasterize_points(df, GRID, "x", "y", value_col="v", stat="sum")
+    classic = str(tmp_path / "c.tif")
+    big = str(tmp_path / "b.tif")
+    save_geotiff(tiles, GRID, classic, bigtiff=False)
+    save_geotiff(tiles, GRID, big, bigtiff=True)
+    with open(big, "rb") as fh:
+        assert struct.unpack("<H", fh.read(4)[2:4])[0] == 43
+    a, ag = read_geotiff(spark, classic)
+    b, bg = read_geotiff(spark, big)
+    assert ag == bg
+    pa = raster_cells(a, ag).toPandas().sort_values(
+        ["cell_x", "cell_y"], ignore_index=True)
+    pb = raster_cells(b, bg).toPandas().sort_values(
+        ["cell_x", "cell_y"], ignore_index=True)
+    pd.testing.assert_frame_equal(pa, pb)
