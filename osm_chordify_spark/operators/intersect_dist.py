@@ -569,3 +569,181 @@ def intersect_polygons_with_zones_dist(
     from osm_chordify_spark.operators.graph import _grouped_map
 
     return _grouped_map(work, "__gk", kern, schema)
+
+
+def nearest_zone_dist(
+    points: DataFrame,
+    zones_df: DataFrame,
+    zone_id_col: str = "zone_id",
+    geometry_col: str = "geometry",
+    point_id: str = "point_id",
+    point_xy: tuple[str, str] = ("x", "y"),
+    index_res: int = 9,
+    max_ring: int = 64,
+    world=ci.WORLD,
+    max_cells_per_zone: int = 4096,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Nearest-zone assignment over a DataFrame zone table too large to
+    broadcast — the distributed complement of
+    ``ZoneIndex.assign_points_nearest`` (same contract: containing zone
+    wins with smallest-ordinal ties, else minimum exact boundary
+    distance; zones beyond ``max_ring`` index cells are not searched).
+
+    Shape: the kNN annulus machinery pointed at the zone cover-cell
+    table — per doubling round, still-unresolved points explode ONLY
+    the new annulus (codegen), equi-join the (cell → zone) rows, and a
+    salted grouped kernel scores exact point-to-boundary distances
+    (containment ⇒ 0).  A point resolves when its best distance ≤
+    (r-1)·cell_min, the same cover-cell bound the broadcast path uses.
+    Returns (point_id, zone_id, dist); points that found NO zone within
+    ``max_ring`` are absent from the output (inner-join semantics —
+    left-join back to keep them as NULL)."""
+    from osm_chordify_spark.operators.graph import _grouped_map
+    from osm_chordify_spark.operators.knn import _annulus_cells
+
+    # ---- zone side: frozen ids + cover-cell table (shared classifiers)
+    def res_batch(batches):
+        for pdf in batches:
+            r = index_res
+            for g in pdf[geometry_col]:
+                polys = G.geometry_polygons(bytes(g))
+                r = min(r, ZI.zone_min_res(polys, r, world, max_cells_per_zone))
+            yield pd.DataFrame({"r": [r]})
+
+    row = (
+        zones_df.select(geometry_col)
+        .mapInPandas(res_batch, schema="r int")
+        .agg(F.min("r").alias("r"))
+        .collect()[0]
+    )
+    eff_res = int(row.r) if row.r is not None else index_res
+    x0, y0, x1, y1 = world
+    n = 1 << eff_res
+    cell_min = min((x1 - x0) / n, (y1 - y0) / n)
+
+    zindexed = zones_df.select(
+        F.monotonically_increasing_id().alias("__zid"),
+        F.col(zone_id_col).alias("__zname"),
+        F.col(geometry_col).alias("__zgeom"),
+    ).localCheckpoint(eager=True)
+
+    def zone_cells(batches):
+        for pdf in batches:
+            zids, cells = [], []
+            for zid, g in zip(pdf["__zid"], pdf["__zgeom"]):
+                polys = G.geometry_polygons(bytes(g))
+                for c in ZI.zone_cover_cells(
+                    polys, eff_res, world, max_cells_per_zone
+                ):
+                    zids.append(zid)
+                    cells.append(c)
+            yield pd.DataFrame(
+                {"__zid": pd.Series(zids, dtype="int64"),
+                 "__cell": pd.Series(cells, dtype="int64")}
+            )
+
+    zcells = (
+        zindexed.select("__zid", "__zgeom")
+        .mapInPandas(zone_cells, schema="__zid long, __cell long")
+        .localCheckpoint(eager=True)
+    )
+
+    px, py = point_xy
+    from osm_chordify_spark.functions.cells import cell_expr
+
+    unresolved = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col(px).alias("__px"),
+        F.col(py).alias("__py"),
+        cell_expr(F.col(px), F.col(py), eff_res, world).alias("__pcell"),
+    ).localCheckpoint(eager=True)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        polys = G.geometry_polygons(bytes(pdf["__zgeom"].iloc[0]))
+        qx = pdf["__px"].to_numpy(np.float64)
+        qy = pdf["__py"].to_numpy(np.float64)
+        inside = np.zeros(len(pdf), dtype=bool)
+        for rings in polys:
+            inside |= G.point_in_polygon(qx, qy, rings)
+        best = np.full(len(pdf), np.inf)
+        for rings in polys:
+            for ring in rings:
+                r = G.ring_close(ring)
+                for i in range(len(r) - 1):
+                    d = G.point_segment_dist(
+                        qx, qy, r[i, 0], r[i, 1], r[i + 1, 0], r[i + 1, 1]
+                    )
+                    best = np.minimum(best, np.asarray(d, dtype=np.float64))
+        best[inside] = 0.0
+        return pd.DataFrame(
+            {"__pid": pdf["__pid"], "__zid": pdf["__zid"], "__dist": best}
+        )
+
+    finished: list[DataFrame] = []
+    best = None  # carried (pid, px, py, pcell, zid, dist) per point
+    r_prev, r = -1, 1
+    rounds = 0
+    while True:
+        probe = unresolved.withColumn(
+            "__cell", F.explode(_annulus_cells(F.col("__pcell"), r_prev, r, eff_res))
+        )
+        cand = (
+            probe.join(zcells, "__cell")
+            .select("__pid", "__px", "__py", "__zid")
+            .distinct()
+            .join(zindexed.select("__zid", "__zgeom"), "__zid")
+            .withColumn(
+                "__gk",
+                F.concat_ws(
+                    "#", F.col("__zid"),
+                    F.pmod(F.xxhash64("__pid"), F.lit(salt_buckets)),
+                ),
+            )
+        )
+        scored = _grouped_map(
+            cand, "__gk", score, "__pid long, __zid long, __dist double"
+        )
+        allc = scored if best is None else scored.unionByName(best)
+        ranked = (
+            allc.groupBy("__pid")
+            .agg(F.min(F.struct("__dist", "__zid")).alias("__b"))
+            .select("__pid", F.col("__b.__zid").alias("__zid"),
+                    F.col("__b.__dist").alias("__dist"))
+            .join(unresolved, "__pid")
+        )
+        bound = max(r - 1, 0) * cell_min
+        done = ranked.filter(F.col("__dist") <= bound).select(
+            "__pid", "__zid", "__dist"
+        ).localCheckpoint(eager=True)
+        finished.append(done)
+        still = ranked.filter(F.col("__dist") > bound)
+        rounds += 1
+        if r >= max_ring:
+            # give up on the bound: best seen wins (documented cap)
+            finished.append(
+                still.select("__pid", "__zid", "__dist").localCheckpoint(eager=True)
+            )
+            break
+        # a point stays unresolved until RESOLVED — including points whose
+        # annuli so far found no candidate at all (not in ranked yet)
+        nxt_unres = unresolved.join(
+            done.select("__pid"), "__pid", "left_anti"
+        ).localCheckpoint(eager=True)
+        if nxt_unres.isEmpty():
+            break
+        best = still.select("__pid", "__zid", "__dist").localCheckpoint(eager=True)
+        unresolved = nxt_unres
+        r_prev, r = r, min(r * 2, max_ring)
+
+    out = finished[0]
+    for p in finished[1:]:
+        out = out.unionByName(p)
+    return (
+        out.join(zindexed.select("__zid", "__zname"), "__zid")
+        .select(
+            F.col("__pid").alias(point_id),
+            F.col("__zname").alias(zone_id_col),
+            F.col("__dist").alias("dist"),
+        )
+    )

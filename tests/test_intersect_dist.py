@@ -231,3 +231,48 @@ def test_dist_empty_zone_table_and_no_candidates(spark):
     pdf = lj.toPandas()
     assert len(pdf) == 20
     assert pdf["zone_zone_id"].isna().all()
+
+
+def test_nearest_zone_dist_parity_with_broadcast(spark):
+    """The distributed nearest-zone path matches the broadcast
+    ZoneIndex.assign_points_nearest exactly (containment priority,
+    minimum boundary distance, smallest-ordinal ties) on polygon zones."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_chordify_spark import geom as G2
+    from osm_chordify_spark.operators.intersect_dist import nearest_zone_dist
+    from osm_chordify_spark.operators.zoneindex import ZoneIndex
+
+    tri_a = np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 4.0]])
+    tri_b = np.array([[10.0, 0.0], [14.0, 0.0], [14.0, 4.0]])
+    zones = [("A", [tri_a]), ("B", [tri_b])]
+    rng = np.random.default_rng(47)
+    pdf = pd.DataFrame({
+        "point_id": np.arange(300),
+        "x": rng.uniform(-5.0, 19.0, 300),
+        "y": rng.uniform(-5.0, 9.0, 300),
+    })
+
+    idx = ZoneIndex.build(zones, res=8)
+    zb, db = idx.assign_points_nearest(
+        pdf["x"].to_numpy(), pdf["y"].to_numpy()
+    )
+    exp = pd.DataFrame({
+        "point_id": pdf["point_id"],
+        "zone_id": [idx.zone_ids[z] for z in zb],
+        "dist": db,
+    })
+
+    zdf = spark.createDataFrame(pd.DataFrame({
+        "zone_id": [z for z, _ in zones],
+        "geometry": [G2.wkb_polygon(r) for _, r in zones],
+    }))
+    got = (
+        nearest_zone_dist(spark.createDataFrame(pdf), zdf, index_res=8)
+        .toPandas()
+        .sort_values("point_id", ignore_index=True)
+    )
+    assert len(got) == 300
+    assert (got["zone_id"].to_numpy() == exp["zone_id"].to_numpy()).all()
+    assert np.allclose(got["dist"], exp["dist"], rtol=1e-12)
