@@ -324,3 +324,181 @@ def within_distance_join(
             F.col("__dist").alias("dist"),
         )
     )
+
+
+def knn_match_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    k: int = 1,
+    res: int = 10,
+    max_ring: int = 16,
+    point_id: str = "point_id",
+    seg_id: str = "seg_id",
+    point_xy: tuple[str, str] = ("x", "y"),
+    seg_ends: tuple[str, str, str, str] = ("ax", "ay", "bx", "by"),
+    world=WORLD,
+) -> DataFrame:
+    """Exact k-nearest SEGMENTS per point — true point-to-segment
+    distance (clamped projection), not midpoints: a long road segment
+    whose midpoint is far but whose body passes close ranks correctly.
+
+    Same ring-search skeleton as :func:`knn_match`, two differences:
+    each segment indexes under EVERY cover cell its bbox spans (a
+    codegen double sequence-explode), and candidates dedupe per
+    (point, segment) before ranking since a segment can surface through
+    several of its cells.  The finalize bound survives unchanged: a
+    segment with no cover cell inside ring r lies entirely ≥ r·cell_min
+    away.  Distance is a pure-codegen clamped-projection expression —
+    no Python anywhere in the loop."""
+    px, py = point_xy
+    ax, ay, bx, by = seg_ends
+    x0, y0, x1, y1 = world
+    cell_w = (x1 - x0) / (1 << res)
+    cell_h = (y1 - y0) / (1 << res)
+    cell_min = min(cell_w, cell_h)
+
+    ca = cell_expr(F.col(ax), F.col(ay), res, world)
+    cb = cell_expr(F.col(bx), F.col(by), res, world)
+    cxa = F.shiftright(ca, 29).bitwiseAND(F.lit(_MASK).cast("long"))
+    cya = ca.bitwiseAND(F.lit(_MASK).cast("long"))
+    cxb = F.shiftright(cb, 29).bitwiseAND(F.lit(_MASK).cast("long"))
+    cyb = cb.bitwiseAND(F.lit(_MASK).cast("long"))
+    segs = (
+        segments.select(
+            F.col(seg_id).alias("__sid"),
+            F.col(ax).alias("__ax"), F.col(ay).alias("__ay"),
+            F.col(bx).alias("__bx"), F.col(by).alias("__by"),
+            cxa.alias("__cxa"), cya.alias("__cya"),
+            cxb.alias("__cxb"), cyb.alias("__cyb"),
+        )
+        .select(
+            "__sid", "__ax", "__ay", "__bx", "__by",
+            F.explode(
+                F.sequence(F.least("__cxa", "__cxb"), F.greatest("__cxa", "__cxb"))
+            ).alias("__cx"),
+            F.sequence(F.least("__cya", "__cyb"), F.greatest("__cya", "__cyb")).alias("__cys"),
+        )
+        .select(
+            "__sid", "__ax", "__ay", "__bx", "__by", "__cx",
+            F.explode("__cys").alias("__cy"),
+        )
+        .select(
+            "__sid", "__ax", "__ay", "__bx", "__by",
+            F.shiftleft(F.lit(res).cast("long"), 58)
+            .bitwiseOR(F.shiftleft(F.col("__cx"), 29))
+            .bitwiseOR(F.col("__cy"))
+            .alias("__cell"),
+        )
+    )
+
+    unresolved = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col(px).alias("__px"),
+        F.col(py).alias("__py"),
+        cell_expr(F.col(px), F.col(py), res, world).alias("__pcell"),
+    )
+    ex = F.col("__bx") - F.col("__ax")
+    ey = F.col("__by") - F.col("__ay")
+    len2 = ex * ex + ey * ey
+    t = F.least(
+        F.greatest(
+            ((F.col("__px") - F.col("__ax")) * ex + (F.col("__py") - F.col("__ay")) * ey)
+            / F.greatest(len2, F.lit(1e-300)),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    qx = F.col("__ax") + t * ex
+    qy = F.col("__ay") + t * ey
+    dist = F.sqrt(
+        (F.col("__px") - qx) * (F.col("__px") - qx)
+        + (F.col("__py") - qy) * (F.col("__py") - qy)
+    )
+    wp = Window.partitionBy("__pid")
+    w = wp.orderBy(F.col("__dist"), F.col("__sid"))
+
+    finished_parts: list[DataFrame] = []
+    best = None
+    r_prev, r = -1, 1
+    n_unres = 1
+    while r <= max_ring:
+        probe = unresolved.withColumn(
+            "__cell", F.explode(_annulus_cells(F.col("__pcell"), r_prev, r, res))
+        )
+        cand = (
+            probe.join(segs, "__cell")
+            .withColumn("__dist", dist)
+            .select("__pid", "__px", "__py", "__sid", "__dist")
+        )
+        allc = cand if best is None else cand.unionByName(best)
+        # a segment reached via several cells yields duplicate pairs —
+        # collapse before ranking or one segment eats two ranks
+        allc = allc.groupBy("__pid", "__sid").agg(
+            F.first("__px").alias("__px"),
+            F.first("__py").alias("__py"),
+            F.min("__dist").alias("__dist"),
+        )
+        bound = float(r) * cell_min
+        ranked = (
+            allc.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= k)
+            .withColumn(
+                "__done",
+                (F.count("*").over(wp) >= k)
+                & (F.max("__dist").over(wp) <= F.lit(bound)),
+            )
+        )
+        ranked_ck = ranked.localCheckpoint(eager=True)
+        finished_parts.append(
+            ranked_ck.filter(F.col("__done")).select(
+                "__pid", "__sid", "__dist", "__rank"
+            )
+        )
+        done_ids = ranked_ck.filter(F.col("__done")).select("__pid").distinct()
+        nxt = unresolved.join(done_ids, "__pid", "left_anti").persist()
+        n_unres = nxt.count()
+        unresolved = nxt.localCheckpoint(eager=True)
+        nxt.unpersist()
+        if n_unres == 0:
+            break
+        best = ranked_ck.filter(~F.col("__done")).select(
+            "__pid", "__px", "__py", "__sid", "__dist"
+        )
+        r_prev, r = r, r * 2
+
+    if n_unres > 0:
+        if res == 0:
+            finished_parts.append(
+                best.withColumn("__rank", F.row_number().over(w)).select(
+                    "__pid", "__sid", "__dist", "__rank"
+                )
+            )
+        else:
+            sub = knn_match_segments(
+                unresolved.select(
+                    F.col("__pid").alias(point_id),
+                    F.col("__px").alias(px),
+                    F.col("__py").alias(py),
+                ),
+                segments, k=k, res=max(res - 3, 0), max_ring=max_ring,
+                point_id=point_id, seg_id=seg_id,
+                point_xy=point_xy, seg_ends=seg_ends, world=world,
+            )
+            finished_parts.append(
+                sub.select(
+                    F.col(point_id).alias("__pid"),
+                    F.col(seg_id).alias("__sid"),
+                    F.col("dist").alias("__dist"),
+                    F.col("rank").alias("__rank"),
+                )
+            )
+
+    results = finished_parts[0]
+    for part in finished_parts[1:]:
+        results = results.unionByName(part)
+    return results.select(
+        F.col("__pid").alias(point_id),
+        F.col("__sid").alias(seg_id),
+        F.col("__dist").alias("dist"),
+        F.col("__rank").alias("rank"),
+    )

@@ -1987,3 +1987,56 @@ def pages_nearest_zone(spark, sf_dir):
         + F.pow(F.greatest(F.lit(60.0) - F.col("lat"), F.col("lat") - F.lit(80.0), F.lit(0.0)), F.lit(2.0))
     )
     return assigned.filter(F.abs(da - db) > 1e-6).select("url", "zone_id")
+
+
+@register(
+    "knn_true_segment_match",
+    oracle="""
+with pts as (
+  select c_custkey as point_id,
+         ((c_custkey * 3) % 100) / 1e1 + 5e-2 as x,
+         ((c_custkey * 7) % 100) / 1e1 + 5e-2 as y
+  from customer
+), segs as (
+  select p_partkey as seg_id,
+         ((p_partkey * 11) % 100) / 1e1 + 5e-2 as ax,
+         ((p_partkey * 17) % 100) / 1e1 + 5e-2 as ay,
+         ((p_partkey * 11) % 100) / 1e1 + 5e-2 + ((p_partkey * 7) % 5) / 1e1 + 1e-1 as bx,
+         ((p_partkey * 17) % 100) / 1e1 + 5e-2 + ((p_partkey * 13) % 7) / 1e1 as by
+  from part
+), d as (
+  select p.point_id, s.seg_id,
+         sqrt(power(p.x - (s.ax + least(greatest(((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay)) / greatest((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay), 1e-300), 0e0), 1e0) * (s.bx - s.ax)), 2)
+            + power(p.y - (s.ay + least(greatest(((p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay)) / greatest((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay), 1e-300), 0e0), 1e0) * (s.by - s.ay)), 2)) as dist
+  from pts p cross join segs s
+)
+select point_id, seg_id, rank from (
+  select point_id, seg_id,
+         row_number() over (partition by point_id order by dist, seg_id) as rank
+  from d
+) where rank <= 2
+""",
+)
+def knn_true_segment_match(spark, sf_dir):
+    """kNN to TRUE segments (clamped point-to-segment distance), not
+    midpoints — a long segment whose body passes near the point ranks
+    correctly (operators/knn.py knn_match_segments: segments index
+    under every bbox cover cell, candidates dedupe per pair, same
+    ring-search bound).  Oracle: the O(n·m) brute force with the
+    identical clamped-projection expression."""
+    from osm_chordify_spark.operators.knn import knn_match_segments
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        F.expr("((c_custkey * 3) % 100) / 1e1 + 5e-2").alias("x"),
+        F.expr("((c_custkey * 7) % 100) / 1e1 + 5e-2").alias("y"),
+    )
+    segs = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("seg_id"),
+        F.expr("((p_partkey * 11) % 100) / 1e1 + 5e-2").alias("ax"),
+        F.expr("((p_partkey * 17) % 100) / 1e1 + 5e-2").alias("ay"),
+        F.expr("((p_partkey * 11) % 100) / 1e1 + 5e-2 + ((p_partkey * 7) % 5) / 1e1 + 1e-1").alias("bx"),
+        F.expr("((p_partkey * 17) % 100) / 1e1 + 5e-2 + ((p_partkey * 13) % 7) / 1e1").alias("by"),
+    )
+    out = knn_match_segments(pts, segs, k=2, res=10)
+    return out.select("point_id", "seg_id", "rank")

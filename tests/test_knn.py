@@ -95,3 +95,51 @@ def test_within_distance_join_brute_force(spark):
         within_distance_join(
             spark.createDataFrame(pts), spark.createDataFrame(segs), radius=0.0
         )
+
+
+def test_knn_true_segments_vs_brute_force(spark):
+    """True-segment kNN matches brute force — includes a long diagonal
+    segment whose MIDPOINT is far but whose body is nearest, the case
+    midpoint matching gets wrong."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_chordify_spark.operators.knn import knn_match_segments
+
+    rng = np.random.default_rng(51)
+    segs = pd.DataFrame({
+        "seg_id": np.arange(120),
+        "ax": rng.uniform(-50, 50, 120),
+        "ay": rng.uniform(-30, 30, 120),
+    })
+    segs["bx"] = segs["ax"] + rng.uniform(-8, 8, 120)
+    segs["by"] = segs["ay"] + rng.uniform(-8, 8, 120)
+    # the adversarial case: a very long segment passing near the origin
+    segs.loc[0, ["ax", "ay", "bx", "by"]] = (-40.0, -40.0, 40.0, 40.0)
+    pts = pd.DataFrame({
+        "point_id": np.arange(80),
+        "x": rng.uniform(-45, 45, 80),
+        "y": rng.uniform(-28, 28, 80),
+    })
+    pts.loc[0, ["x", "y"]] = (0.5, -0.5)  # 0.707 from segment 0's body
+
+    out = knn_match_segments(
+        spark.createDataFrame(pts), spark.createDataFrame(segs), k=3, res=9
+    ).toPandas()
+
+    def seg_dist(p, s):
+        ex, ey = s.bx - s.ax, s.by - s.ay
+        t = np.clip(((p.x - s.ax) * ex + (p.y - s.ay) * ey)
+                    / max(ex * ex + ey * ey, 1e-300), 0.0, 1.0)
+        return float(np.hypot(p.x - (s.ax + t * ex), p.y - (s.ay + t * ey)))
+
+    for p in pts.itertuples():
+        d = sorted(
+            ((seg_dist(p, s), s.seg_id) for s in segs.itertuples())
+        )[:3]
+        got = out[out["point_id"] == p.point_id].sort_values("rank")
+        assert list(got["seg_id"]) == [sid for _d, sid in d], p.point_id
+        assert np.allclose(sorted(got["dist"]), [x for x, _ in d], rtol=1e-9)
+    # the adversarial point's rank-1 is the long diagonal
+    got0 = out[(out["point_id"] == 0) & (out["rank"] == 1)]
+    assert int(got0["seg_id"].iloc[0]) == 0
