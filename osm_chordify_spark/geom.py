@@ -974,3 +974,33 @@ def erode_polygons(polys_list, d: float, quad_segs: int = 8):
                 rings.append(isl[0])
         result.append(rings)
     return result
+
+
+def simplify_polyline(coords: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas–Peucker polyline simplification (iterative, NumPy
+    distance kernel): keep every vertex farther than ``tolerance`` from
+    the chord of its span.  Endpoints always survive; the result is a
+    subsequence of the input (no new vertices), so topology endpoints
+    (u, v) are preserved by construction."""
+    c = np.asarray(coords, dtype=np.float64)
+    n = len(c)
+    if n <= 2:
+        return c
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = c[i + 1 : j]
+        d = point_segment_dist(
+            seg[:, 0], seg[:, 1], c[i, 0], c[i, 1], c[j, 0], c[j, 1]
+        )
+        k = int(np.argmax(d))
+        if d[k] > tolerance:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return c[keep]

@@ -1030,3 +1030,42 @@ def process_ferry_edges(
     )
     used_nodes = nodes.join(endpoints, "node_id", "leftsemi")
     return used_nodes, kept
+
+
+def simplify_edge_geometries(
+    edges: DataFrame,
+    tolerance: float,
+    geometry_col: str = "geometry",
+) -> DataFrame:
+    """Douglas–Peucker simplification of every edge geometry (WKB line
+    or multiline) — shrinks vertex counts (and downstream kernel cost)
+    while keeping every surviving vertex an ORIGINAL vertex, so edge
+    endpoints and topology are untouched by construction.
+
+    Arrow-batched map-side kernel (geom.simplify_polyline per line);
+    no shuffle, no schema change.  The within-tolerance guarantee
+    (max deviation ≤ tolerance) is pinned in pytest."""
+    if tolerance < 0:
+        raise ValueError("tolerance must be >= 0")
+
+    schema = edges.schema
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for buf in pdf[geometry_col]:
+                if buf is None:
+                    out.append(None)
+                    continue
+                kind, _ = G.parse_wkb(bytes(buf))
+                lines = G.geometry_lines(bytes(buf))
+                simp = [G.simplify_polyline(ln, tolerance) for ln in lines]
+                if kind == "multilinestring":
+                    out.append(G.wkb_multilinestring(simp))
+                else:
+                    out.append(G.wkb_linestring(simp[0]))
+            pdf = pdf.copy()
+            pdf[geometry_col] = out
+            yield pdf
+
+    return edges.mapInPandas(run, schema=schema)

@@ -323,3 +323,44 @@ def test_process_ferry_edges_default_allow(spark):
     assert not out["hgv"].any() and out["mdv"].all()
     # used nodes only: {1,2} ∪ {3,4}; node 5 and 99 dropped
     assert sorted(kn.toPandas()["node_id"]) == [1, 2, 3, 4]
+
+
+def test_simplify_edge_geometries_tolerance_and_topology(spark):
+    """DP simplification: endpoints survive, every surviving vertex is
+    an original vertex, and no original vertex deviates more than
+    tolerance from the simplified line."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_chordify_spark import geom as G2
+    from osm_chordify_spark.operators.graph import simplify_edge_geometries
+
+    rng = np.random.default_rng(53)
+    rows = []
+    originals = {}
+    for eid in range(40):
+        n = rng.integers(5, 40)
+        xs = np.cumsum(rng.uniform(0.5, 2.0, n)) + eid * 100
+        ys = np.cumsum(rng.normal(0, 0.4, n))
+        line = np.stack([xs, ys], axis=1)
+        originals[eid] = line
+        rows.append((eid, G2.wkb_linestring(line)))
+    edges = spark.createDataFrame(pd.DataFrame(rows, columns=["eid", "geometry"]))
+    tol = 0.5
+    out = simplify_edge_geometries(edges, tol).toPandas().set_index("eid")
+    for eid, line in originals.items():
+        simp = G2.geometry_lines(bytes(out.loc[eid, "geometry"]))[0]
+        assert len(simp) <= len(line)
+        assert np.allclose(simp[0], line[0]) and np.allclose(simp[-1], line[-1])
+        # subsequence property
+        orig_set = {tuple(p) for p in np.round(line, 9)}
+        assert all(tuple(p) in orig_set for p in np.round(simp, 9))
+        # tolerance guarantee: every original vertex within tol of the
+        # simplified polyline
+        for p in line:
+            best = np.inf
+            for i in range(len(simp) - 1):
+                best = min(best, float(G2.point_segment_dist(
+                    p[0], p[1], simp[i, 0], simp[i, 1],
+                    simp[i + 1, 0], simp[i + 1, 1])))
+            assert best <= tol + 1e-9
