@@ -526,3 +526,34 @@ def embedding_cosine_dedup(
     cluster — the embedding-space analogue of minhash_lsh_dedup."""
     pairs = embedding_cosine_pairs(df, emb_col, id_col, **kw)
     return dedup_from_pairs(df, pairs, id_col)
+
+
+def contamination_flags(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with the (small) evaluation set → (id, shared_grams).
+
+    Scale shape: the eval side reduces to a DISTINCT gram table and
+    BROADCASTS (eval sets are tiny by definition); the train side
+    explodes its per-doc distinct grams map-side and the only shuffle
+    is the per-doc count aggregate (map-side combined).  A 10^12-doc
+    train table is decontaminated in one pass with no train-side
+    self-join anywhere."""
+    eval_grams = (
+        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )

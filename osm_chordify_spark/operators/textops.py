@@ -125,3 +125,37 @@ def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", doc_fingerprint(t))
         .withColumn("bpe_tokens", bpe_ish_token_count(t))
     )
+
+
+def hash_split(
+    df,
+    key_col: str,
+    splits: dict,
+    split_col: str = "split",
+):
+    """Deterministic, engine-portable train/val/test assignment: the
+    first two hex chars of ``md5(key)`` pick one of 256 buckets, and
+    ``splits`` maps names to bucket COUNTS (must sum to ≤ 256; any
+    remainder falls into the last split).  md5 is identical across
+    Spark, DuckDB, Python — so the split is reproducible anywhere the
+    data lands, survives repartitioning, and never moves a key between
+    splits when the table grows (the properties random splits lack).
+
+    Pure codegen projection; ~1/256 granularity is the deliberate
+    price of portability."""
+    from pyspark.sql import functions as F
+
+    total = sum(splits.values())
+    if total > 256:
+        raise ValueError(f"split buckets sum to {total} > 256")
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 2), 16, 10).cast("int")
+    expr = None
+    lo = 0
+    names = list(splits)
+    for name in names:
+        hi = lo + splits[name]
+        cond = (bucket >= F.lit(lo)) & (bucket < F.lit(hi))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)

@@ -2040,3 +2040,62 @@ def knn_true_segment_match(spark, sf_dir):
     )
     out = knn_match_segments(pts, segs, k=2, res=10)
     return out.select("point_id", "seg_id", "rank")
+
+
+@register(
+    "decontaminate_vs_eval",
+    oracle=_GRAMS_SQL
+    + """
+, evg as (
+  select distinct unnest(grams) as gram from g where doc_id % 97 = 0
+)
+select t.doc_id, count(*) as shared_grams
+from (select doc_id, unnest(grams) as gram from g where doc_id % 97 <> 0) t
+join evg using (gram)
+group by t.doc_id
+""",
+)
+def decontaminate_vs_eval(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.contamination_flags):
+    docs with doc_id % 97 == 0 play the eval set; every train doc
+    sharing a word bigram with it is flagged with its shared-gram
+    count.  Eval grams broadcast; the only shuffle is the per-doc
+    count."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    out = _DD.contamination_flags(tr, ev, n=2)
+    return out.select(F.col("id").alias("doc_id"), "shared_grams")
+
+
+@register(
+    "hash_split_counts",
+    oracle="""
+with b as (
+  select doc_id,
+         cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 2)) as int) as bucket
+  from documents
+)
+select case when bucket < 204 then 'train'
+            when bucket < 230 then 'val'
+            else 'test' end as split,
+       count(*) as n,
+       min(doc_id) as min_id,
+       max(doc_id) as max_id
+from b group by 1
+""",
+)
+def hash_split_counts(spark, sf_dir):
+    """Deterministic, engine-portable train/val/test split
+    (textops.hash_split): md5-prefix buckets — the oracle reproduces
+    the EXACT assignment in DuckDB, proving the split is identical
+    across engines (the property random splits lack)."""
+    from osm_chordify_spark.operators.textops import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 204, "val": 26, "test": 26})
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

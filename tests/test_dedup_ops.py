@@ -225,3 +225,45 @@ def test_ivf_topk_recall_and_exactness_at_full_probe(spark):
     pd.testing.assert_frame_equal(
         f[["query_id", "vec_id", "rank"]], e[["query_id", "vec_id", "rank"]]
     )
+
+
+def test_contamination_flags_exact(spark):
+    import pandas as pd
+
+    from osm_chordify_spark.operators.dedup import contamination_flags
+
+    train = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox", "totally unrelated words here",
+                 "quick brown dogs run"],
+    }))
+    ev = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["a quick brown animal"],
+    }))
+    out = contamination_flags(train, ev, n=2).toPandas().set_index("id")
+    # shared bigram "quick brown" flags docs 1 and 3; doc 2 clean
+    assert set(out.index) == {1, 3}
+    assert (out["shared_grams"] == 1).all()
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    import pandas as pd
+    import pytest
+
+    from osm_chordify_spark.operators.textops import hash_split
+
+    df = spark.createDataFrame(pd.DataFrame({"k": list(range(1000))}))
+    s1 = hash_split(df, "k", {"train": 204, "val": 26, "test": 26}) \
+        .toPandas().set_index("k")["split"]
+    # growing the table never moves an existing key's split
+    s2 = hash_split(
+        spark.createDataFrame(pd.DataFrame({"k": list(range(2000))})),
+        "k", {"train": 204, "val": 26, "test": 26},
+    ).toPandas().set_index("k")["split"]
+    assert (s2.loc[s1.index] == s1).all()
+    # rough proportions (md5 uniformity)
+    frac = s1.value_counts(normalize=True)
+    assert 0.72 < frac["train"] < 0.88
+    with pytest.raises(ValueError, match="256"):
+        hash_split(df, "k", {"a": 200, "b": 100})
