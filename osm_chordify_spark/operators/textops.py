@@ -159,3 +159,78 @@ def hash_split(
         lo = hi
     expr = expr.otherwise(F.lit(names[-1]))
     return df.withColumn(split_col, expr)
+
+
+def repetition_features(text: Column) -> dict:
+    """Gopher-style repetition signals, all codegen and LINEAR per doc:
+
+    * ``dup_line_frac``  — 1 − distinct/total over non-blank lines
+    * ``dup_word_frac``  — 1 − distinct/total over whitespace tokens
+
+    The standard public data-quality filters for crawled text (high
+    duplicate-line share ⇒ boilerplate/templating).  Top-token share
+    needs a frequency table — that is :func:`top_word_share`, a tiny
+    explode+window aggregate, NOT a per-row array expression (any
+    array-only formulation is quadratic in document length)."""
+    lines = F.filter(F.split(F.coalesce(text, F.lit("")), r"\n"), lambda l: F.trim(l) != "")
+    words = F.filter(F.split(F.trim(F.coalesce(text, F.lit(""))), _WS), lambda w: w != "")
+    nl = F.size(lines)
+    nw = F.size(words)
+    return {
+        "dup_line_frac": F.when(
+            nl > 0,
+            F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / nl,
+        ).otherwise(0.0),
+        "dup_word_frac": F.when(
+            nw > 0,
+            F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / nw,
+        ).otherwise(0.0),
+    }
+
+
+def top_word_share(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "top_word_frac",
+) -> DataFrame:
+    """Share of each document's single most frequent token — explode →
+    per-(doc, token) count → per-doc max / total.  Linear work, two
+    map-side-combined aggregates; appends ``out_col`` (0.0 for empty)."""
+    words = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), _WS),
+        lambda w: w != "",
+    )
+    tok = df.select(F.col(id_col).alias("__id"), F.explode(words).alias("__w"))
+    per = (
+        tok.groupBy("__id", "__w").agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__id")
+        .agg(
+            (F.max("__c").cast("double") / F.sum("__c")).alias(out_col)
+        )
+    )
+    return df.join(
+        per, df[id_col] == per["__id"], "left"
+    ).drop("__id").withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0)))
+
+
+def cap_per_domain(
+    pages: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    order_col: str = "url",
+) -> DataFrame:
+    """Domain balancing — the CommonCrawl-pipeline staple: keep at most
+    ``max_per_domain`` pages per registered host, chosen
+    DETERMINISTICALLY by ``order_col`` (so reruns and engines agree).
+    One window shuffle on the extracted host; hot domains are exactly
+    the rows this op exists to drop, so skew self-resolves."""
+    from pyspark.sql import Window
+
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    w = Window.partitionBy(host).orderBy(F.col(order_col))
+    return (
+        pages.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_domain)
+        .drop("__rn")
+    )

@@ -2099,3 +2099,79 @@ def hash_split_counts(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "repetition_filter",
+    oracle=r"""
+with f as (
+  select doc_id,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') as lines,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') as words
+  from documents
+)
+select doc_id,
+       round(case when len(lines) > 0
+             then 1e0 - cast(len(list_distinct(lines)) as double) / len(lines)
+             else 0e0 end, 4) as dup_line_frac,
+       round(case when len(words) > 0
+             then 1e0 - cast(len(list_distinct(words)) as double) / len(words)
+             else 0e0 end, 4) as dup_word_frac
+from f
+""",
+)
+def repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality signals (textops
+    repetition_features): duplicate-line and duplicate-token fractions,
+    linear per document, pure codegen."""
+    from osm_chordify_spark.operators.textops import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = repetition_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(feats["dup_line_frac"], 4).alias("dup_line_frac"),
+        F.round(feats["dup_word_frac"], 4).alias("dup_word_frac"),
+    )
+
+
+@register(
+    "domain_cap_counts",
+    oracle="""
+with pages as (
+  select 'https://site-' || cast(doc_id % 7 as varchar)
+         || '.example.org/page/' || cast(doc_id as varchar) as url,
+         doc_id
+  from documents
+), ranked as (
+  select url, doc_id,
+         row_number() over (
+           partition by regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+           order by url
+         ) as rn
+  from pages
+)
+select regexp_extract(url, '^[a-z]+://([^/]+)', 1) as host,
+       count(*) as kept,
+       min(doc_id) as min_doc
+from ranked where rn <= 100 group by 1
+""",
+)
+def domain_cap_counts(spark, sf_dir):
+    """Per-domain capping (textops.cap_per_domain) — the CommonCrawl
+    domain-balancing staple: 7 synthetic hosts, at most 100 pages each,
+    deterministic by url.  Oracle replays the identical window."""
+    from osm_chordify_spark.operators.textops import cap_per_domain
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://site-"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/page/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "doc_id",
+    )
+    capped = cap_per_domain(docs, max_per_domain=100)
+    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1)
+    return capped.groupBy(host.alias("host")).agg(
+        F.count(F.lit(1)).alias("kept"), F.min("doc_id").alias("min_doc")
+    )

@@ -267,3 +267,39 @@ def test_hash_split_deterministic_and_stable(spark):
     assert 0.72 < frac["train"] < 0.88
     with pytest.raises(ValueError, match="256"):
         hash_split(df, "k", {"a": 200, "b": 100})
+
+
+def test_repetition_and_top_word_and_domain_cap(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osm_chordify_spark.operators.textops import (
+        cap_per_domain,
+        repetition_features,
+        top_word_share,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a b a", "x\ny\nx\n\nz", ""],
+    }))
+    feats = repetition_features(F.col("text"))
+    out = docs.select(
+        "doc_id", feats["dup_line_frac"].alias("dl"), feats["dup_word_frac"].alias("dw")
+    ).toPandas().set_index("doc_id")
+    assert abs(out.loc[1, "dw"] - (1 - 2 / 5)) < 1e-12
+    assert abs(out.loc[2, "dl"] - (1 - 3 / 4)) < 1e-12  # blank line dropped
+    assert out.loc[3, "dw"] == 0.0 and out.loc[3, "dl"] == 0.0
+
+    tw = top_word_share(docs).toPandas().set_index("doc_id")["top_word_frac"]
+    assert abs(tw.loc[1] - 3 / 5) < 1e-12  # 'a' 3 of 5
+    assert tw.loc[3] == 0.0
+
+    pages = spark.createDataFrame(pd.DataFrame({
+        "url": [f"https://h{i % 2}.org/p/{i:03d}" for i in range(10)],
+    }))
+    kept = cap_per_domain(pages, max_per_domain=3).toPandas()
+    assert len(kept) == 6
+    # deterministic: the lexicographically first 3 urls per host survive
+    assert sorted(kept["url"])[:3] == [
+        "https://h0.org/p/000", "https://h0.org/p/002", "https://h0.org/p/004"]
