@@ -557,3 +557,52 @@ def contamination_flags(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
+
+
+def remove_boilerplate_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs_per_paragraph: int = 2,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Cross-document boilerplate removal: a paragraph appearing in
+    MORE than ``max_docs_per_paragraph`` distinct documents (headers,
+    footers, cookie banners) is dropped from every document; remaining
+    paragraphs rejoin in original order.
+
+    Fully relational and linear: posexplode paragraphs → per-paragraph
+    distinct-doc count (two map-side-combined aggregates over a hash,
+    never the text) → anti-join → ordered re-aggregation with
+    array_join.  The paragraph-frequency table is the only shuffle
+    payload beyond ids and offsets."""
+    paras = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("__pos", "__p"),
+    ).withColumn("__h", F.xxhash64(F.trim(F.col("__p"))))
+    freq = (
+        paras.filter(F.trim(F.col("__p")) != "")
+        .groupBy("__h")
+        .agg(F.count_distinct("__id").alias("__n"))
+        .filter(F.col("__n") > max_docs_per_paragraph)
+        .select("__h")
+    )
+    kept = paras.join(freq, "__h", "left_anti")
+    rebuilt = (
+        kept.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__p"))),
+                    lambda s: s["__p"],
+                ),
+                sep,
+            ).alias(text_col)
+        )
+    )
+    others = [c for c in docs.columns if c != text_col]
+    return (
+        docs.drop(text_col)
+        .join(rebuilt.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(*others, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

@@ -2175,3 +2175,49 @@ def domain_cap_counts(spark, sf_dir):
     return capped.groupBy(host.alias("host")).agg(
         F.count(F.lit(1)).alias("kept"), F.min("doc_id").alias("min_doc")
     )
+
+
+@register(
+    "boilerplate_paragraph_removal",
+    oracle="""
+with pages as (
+  select doc_id,
+         text || chr(10) || chr(10) || 'copyright footer all rights reserved'
+         || case when doc_id % 3 = 0
+                 then chr(10) || chr(10) || 'subscribe to our newsletter'
+                 else '' end as text
+  from documents
+), paras as (
+  select doc_id, u.p, u.pos
+  from pages,
+       lateral (select unnest(string_split(text, chr(10) || chr(10))) as p,
+                       generate_subscripts(string_split(text, chr(10) || chr(10)), 1) as pos) u
+), freq as (
+  select p from paras where trim(p) <> ''
+  group by p having count(distinct doc_id) > 2
+)
+select doc_id,
+       coalesce(string_agg(p, chr(10) || chr(10) order by pos), '') as text
+from (select * from paras where p not in (select p from freq))
+group by doc_id
+""",
+)
+def boilerplate_paragraph_removal(spark, sf_dir):
+    """Cross-document boilerplate removal (dedup.
+    remove_boilerplate_paragraphs): every page carries an injected
+    common footer (and a third of them a second one) — paragraphs in
+    > 2 distinct documents are dropped everywhere, the unique body
+    survives, and survivors rejoin in order.  The oracle replays the
+    identical frequency filter + ordered re-join."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\ncopyright footer all rights reserved"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\n\nsubscribe to our newsletter"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return _DD.remove_boilerplate_paragraphs(docs, max_docs_per_paragraph=2)

@@ -303,3 +303,28 @@ def test_repetition_and_top_word_and_domain_cap(spark):
     # deterministic: the lexicographically first 3 urls per host survive
     assert sorted(kept["url"])[:3] == [
         "https://h0.org/p/000", "https://h0.org/p/002", "https://h0.org/p/004"]
+
+
+def test_remove_boilerplate_paragraphs(spark):
+    import pandas as pd
+
+    from osm_chordify_spark.operators.dedup import remove_boilerplate_paragraphs
+
+    footer = "all rights reserved"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"unique one\n\n{footer}",
+            f"unique two\n\n{footer}\n\nalso rare",
+            f"{footer}\n\nunique three",
+            "no footer here",
+        ],
+    }))
+    out = remove_boilerplate_paragraphs(
+        docs, max_docs_per_paragraph=2
+    ).toPandas().set_index("doc_id")["text"]
+    assert out.loc[1] == "unique one"
+    assert out.loc[2] == "unique two\n\nalso rare"  # order preserved
+    assert out.loc[3] == "unique three"
+    assert out.loc[4] == "no footer here"
+    assert footer not in "".join(out)
