@@ -234,3 +234,36 @@ def cap_per_domain(
         .filter(F.col("__rn") <= max_per_domain)
         .drop("__rn")
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-dedup URL canonicalization, pure codegen:
+
+    * scheme and host lowercased
+    * default ports stripped (``:80`` http, ``:443`` https)
+    * fragment stripped
+    * query parameters SORTED (``?b=2&a=1`` ≡ ``?a=1&b=2``)
+    * trailing ``?`` / lone trailing slash on the path dropped
+
+    Two urls that differ only in these never both survive an exact
+    dedup keyed on the canonical form."""
+    u = F.regexp_replace(F.coalesce(url, F.lit("")), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r":80$", "")
+    host = F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(host)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", "")
+    raw_path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(
+        F.when(
+            raw_path != "/", F.regexp_replace(raw_path, r"/$", "")
+        ).otherwise(raw_path)
+    )
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )

@@ -2221,3 +2221,71 @@ def boilerplate_paragraph_removal(spark, sf_dir):
         ).alias("text"),
     )
     return _DD.remove_boilerplate_paragraphs(docs, max_docs_per_paragraph=2)
+
+
+@register(
+    "url_canonicalization",
+    oracle="""
+with raw as (
+  select doc_id,
+         'HTTPS://Site-' || cast(doc_id % 5 as varchar) || '.Example.org'
+         || case when doc_id % 4 = 0 then ':443' else '' end
+         || '/Page/' || cast(doc_id as varchar)
+         || case when doc_id % 3 = 0 then '/' else '' end
+         || case when doc_id % 2 = 0 then '?b=' || cast(doc_id % 7 as varchar) || '&a=1'
+                 else '' end
+         || case when doc_id % 6 = 0 then '#frag' else '' end as url
+  from documents
+), c as (
+  select doc_id,
+         regexp_replace(url, '#.*$', '') as u
+  from raw
+), parts as (
+  select doc_id,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) as scheme,
+         lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) as host0,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '') as rest
+  from c
+), norm as (
+  select doc_id, scheme,
+         case when scheme = 'https' then regexp_replace(host0, ':443$', '')
+              when scheme = 'http' then regexp_replace(host0, ':80$', '')
+              else host0 end as host,
+         regexp_extract(rest, '^([^?]*)', 1) as raw_path,
+         regexp_extract(rest, '\\?(.*)$', 1) as query
+  from parts
+)
+select doc_id,
+       scheme || '://' || host
+       || case when raw_path = '' then '/'
+               when raw_path <> '/' then regexp_replace(raw_path, '/$', '')
+               else raw_path end
+       || case when query <> ''
+               then '?' || list_aggr(list_sort(string_split(query, '&')), 'string_agg', '&')
+               else '' end as canonical_url
+from norm
+""",
+)
+def url_canonicalization(spark, sf_dir):
+    """Crawl-dedup URL canonicalization (textops.canonical_url): mixed
+    case, default ports, trailing slashes, unsorted query params and
+    fragments are synthesized onto the page urls; Spark's codegen
+    canonicalizer must agree with the SQL normalization step for step."""
+    from osm_chordify_spark.operators.textops import canonical_url
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Site-"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".Example.org"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/Page/"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("?b="), (F.col("doc_id") % 7).cast("string"), F.lit("&a=1")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return docs.select("doc_id", canonical_url(F.col("url")).alias("canonical_url"))

@@ -328,3 +328,29 @@ def test_remove_boilerplate_paragraphs(spark):
     assert out.loc[3] == "unique three"
     assert out.loc[4] == "no footer here"
     assert footer not in "".join(out)
+
+
+def test_canonical_url_edge_cases(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osm_chordify_spark.operators.textops import canonical_url
+
+    cases = pd.DataFrame({"url": [
+        "HTTP://EXAMPLE.com:80/a/b/",
+        "https://example.com:443/x?z=1&a=2#frag",
+        "https://example.com",
+        "https://example.com/",
+        "http://example.com:8080/keep-port",
+        "https://example.com/p?b=2&a=1",
+        "https://example.com/p?a=1&b=2",
+    ]})
+    out = spark.createDataFrame(cases).select(
+        canonical_url(F.col("url")).alias("c")
+    ).toPandas()["c"]
+    assert out[0] == "http://example.com/a/b"
+    assert out[1] == "https://example.com/x?a=2&z=1"
+    assert out[2] == "https://example.com/"
+    assert out[3] == "https://example.com/"
+    assert out[4] == "http://example.com:8080/keep-port"
+    assert out[5] == out[6] == "https://example.com/p?a=1&b=2"
