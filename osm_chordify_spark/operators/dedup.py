@@ -48,10 +48,15 @@ def word_ngrams(text: Column, n: int = 2) -> Column:
     words = F.split(F.trim(text), r"\s+")
     if n == 1:
         return F.array_distinct(words)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
-    )
+    # guard short docs: Spark's sequence(1, 0) is DESCENDING [1, 0], so
+    # without the when() a sub-n-word document crashes element_at
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -576,10 +581,13 @@ def remove_boilerplate_paragraphs(
     never the text) → anti-join → ordered re-aggregation with
     array_join.  The paragraph-frequency table is the only shuffle
     payload beyond ids and offsets."""
+    # frequency keys on the RAW paragraph (two paragraphs differing only
+    # in surrounding whitespace are different strings and must rejoin
+    # byte-identically); blank paragraphs are excluded from the filter
     paras = docs.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("__pos", "__p"),
-    ).withColumn("__h", F.xxhash64(F.trim(F.col("__p"))))
+    ).withColumn("__h", F.xxhash64(F.col("__p")))
     freq = (
         paras.filter(F.trim(F.col("__p")) != "")
         .groupBy("__h")

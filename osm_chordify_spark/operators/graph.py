@@ -1057,10 +1057,11 @@ def simplify_edge_geometries(
                 if buf is None:
                     out.append(None)
                     continue
-                kind, _ = G.parse_wkb(bytes(buf))
-                lines = G.geometry_lines(bytes(buf))
+                b = bytes(buf)
+                lines = G.geometry_lines(b)
                 simp = [G.simplify_polyline(ln, tolerance) for ln in lines]
-                if kind == "multilinestring":
+                # header peek, not a second full parse: 5 = MultiLineString
+                if G.wkb_geom_type(b) == 5:
                     out.append(G.wkb_multilinestring(simp))
                 else:
                     out.append(G.wkb_linestring(simp[0]))

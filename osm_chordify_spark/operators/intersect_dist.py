@@ -588,7 +588,10 @@ def nearest_zone_dist(
     broadcast — the distributed complement of
     ``ZoneIndex.assign_points_nearest`` (same contract: containing zone
     wins with smallest-ordinal ties, else minimum exact boundary
-    distance; zones beyond ``max_ring`` index cells are not searched).
+    distance; zones beyond ``max_ring`` index cells are not searched;
+    ties resolve by LEXICOGRAPHIC zone id here — identical to the
+    broadcast path whenever zones are supplied in id order, which the
+    parity test pins).
 
     Shape: the kNN annulus machinery pointed at the zone cover-cell
     table — per doubling round, still-unresolved points explode ONLY
@@ -705,9 +708,13 @@ def nearest_zone_dist(
             cand, "__gk", score, "__pid long, __zid long, __dist double"
         )
         allc = scored if best is None else scored.unionByName(best)
+        # tie-break on the USER-VISIBLE zone id (lexicographic), not the
+        # partition-dependent internal __zid — overlapping/equidistant
+        # zones must resolve identically run-to-run and across paths
         ranked = (
-            allc.groupBy("__pid")
-            .agg(F.min(F.struct("__dist", "__zid")).alias("__b"))
+            allc.join(zindexed.select("__zid", "__zname"), "__zid")
+            .groupBy("__pid")
+            .agg(F.min(F.struct("__dist", "__zname", "__zid")).alias("__b"))
             .select("__pid", F.col("__b.__zid").alias("__zid"),
                     F.col("__b.__dist").alias("__dist"))
             .join(unresolved, "__pid")

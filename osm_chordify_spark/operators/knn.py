@@ -383,13 +383,36 @@ def knn_match_segments(
             F.explode("__cys").alias("__cy"),
         )
         .select(
-            "__sid", "__ax", "__ay", "__bx", "__by",
+            "__sid", "__ax", "__ay", "__bx", "__by", "__cx", "__cy",
             F.shiftleft(F.lit(res).cast("long"), 58)
             .bitwiseOR(F.shiftleft(F.col("__cx"), 29))
             .bitwiseOR(F.col("__cy"))
             .alias("__cell"),
         )
     )
+    # supercover filter: keep only cells the segment can actually touch
+    # (cell CENTER within half the cell diagonal + ε of the segment) —
+    # without this a long diagonal segment indexes under its whole
+    # O(dx·dy) bbox instead of the O(dx+dy) band it passes through,
+    # and a few ferry-length edges would blow up the candidate join
+    ccx = F.lit(x0) + (F.col("__cx") + F.lit(0.5)) * F.lit(cell_w)
+    ccy = F.lit(y0) + (F.col("__cy") + F.lit(0.5)) * F.lit(cell_h)
+    sex = F.col("__bx") - F.col("__ax")
+    sey = F.col("__by") - F.col("__ay")
+    st = F.least(
+        F.greatest(
+            ((ccx - F.col("__ax")) * sex + (ccy - F.col("__ay")) * sey)
+            / F.greatest(sex * sex + sey * sey, F.lit(1e-300)),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    sdx = ccx - (F.col("__ax") + st * sex)
+    sdy = ccy - (F.col("__ay") + st * sey)
+    half_diag = 0.5 * (cell_w ** 2 + cell_h ** 2) ** 0.5
+    segs = segs.filter(
+        sdx * sdx + sdy * sdy <= F.lit((half_diag * 1.0000001) ** 2)
+    ).drop("__cx", "__cy")
 
     unresolved = points.select(
         F.col(point_id).alias("__pid"),

@@ -227,7 +227,10 @@ def cap_per_domain(
     the rows this op exists to drop, so skew self-resolves."""
     from pyspark.sql import Window
 
-    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    # scheme-case-insensitive, host lowercased — raw crawls mix cases
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1)
+    )
     w = Window.partitionBy(host).orderBy(F.col(order_col))
     return (
         pages.withColumn("__rn", F.row_number().over(w))
@@ -250,7 +253,8 @@ def canonical_url(url: Column) -> Column:
     u = F.regexp_replace(F.coalesce(url, F.lit("")), r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    host = F.regexp_replace(host, r":80$", "")
+    # only the scheme's OWN default port is non-distinguishing —
+    # https://h:80 is a real non-default resource and must survive
     host = F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
     host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(host)
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", "")

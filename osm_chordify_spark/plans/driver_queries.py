@@ -2196,10 +2196,12 @@ with pages as (
   select p from paras where trim(p) <> ''
   group by p having count(distinct doc_id) > 2
 )
-select doc_id,
-       coalesce(string_agg(p, chr(10) || chr(10) order by pos), '') as text
-from (select * from paras where p not in (select p from freq))
-group by doc_id
+select d.doc_id,
+       coalesce((select string_agg(p2.p, chr(10) || chr(10) order by p2.pos)
+                 from paras p2
+                 where p2.doc_id = d.doc_id
+                   and p2.p not in (select p from freq)), '') as text
+from documents d
 """,
 )
 def boilerplate_paragraph_removal(spark, sf_dir):
