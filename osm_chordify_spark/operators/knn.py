@@ -82,6 +82,101 @@ def _annulus_cells(cell, r_in: int, r_out: int, res: int):
     )
 
 
+def _ring_search(
+    unresolved: DataFrame,
+    segs: DataFrame,
+    dist,
+    k: int,
+    res: int,
+    max_ring: int,
+    cell_min: float,
+    dedupe_pairs: bool,
+    coarsen,
+) -> DataFrame:
+    """The shared expanding-annulus k-nearest loop behind knn_match
+    (point targets) and knn_match_segments (segment targets).
+
+    ``segs`` carries (__sid, __cell, payload…); ``dist`` is the
+    candidate-distance Column over the joined row; ``dedupe_pairs``
+    collapses (point, target) duplicates before ranking (targets
+    indexed under several cells); ``coarsen(unresolved)`` finishes the
+    sparse leftovers at a coarser resolution.  The materialization
+    discipline per round (eager checkpoint of the ranked set, anti-join
+    + count + checkpoint of the survivors) is THE scale invariant — it
+    lives only here now, so both operators stay in lock-step."""
+    wp = Window.partitionBy("__pid")
+    w = wp.orderBy(F.col("__dist"), F.col("__sid"))
+
+    finished_parts: list[DataFrame] = []
+    best = None  # carried top-k candidates of still-unresolved points
+    r_prev, r = -1, 1
+    n_unres = 1
+    while r <= max_ring:
+        probe = unresolved.withColumn(
+            "__cell", F.explode(_annulus_cells(F.col("__pcell"), r_prev, r, res))
+        )
+        cand = (
+            probe.join(segs, "__cell")
+            .withColumn("__dist", dist)
+            .select("__pid", "__px", "__py", "__sid", "__dist")
+        )
+        allc = cand if best is None else cand.unionByName(best)
+        if dedupe_pairs:
+            # a target reached via several cells yields duplicate pairs —
+            # collapse before ranking or one target eats two ranks
+            allc = allc.groupBy("__pid", "__sid").agg(
+                F.first("__px").alias("__px"),
+                F.first("__py").alias("__py"),
+                F.min("__dist").alias("__dist"),
+            )
+        bound = float(r) * cell_min
+        ranked = (
+            allc.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= k)
+            .withColumn(
+                "__done",
+                (F.count("*").over(wp) >= k)
+                & (F.max("__dist").over(wp) <= F.lit(bound)),
+            )
+        )
+        # direct eager checkpoint: each round's inputs are an RDD (real
+        # carried stats) and the source-backed segs projection, so stats
+        # cannot compound round-over-round
+        ranked_ck = ranked.localCheckpoint(eager=True)
+        finished_parts.append(
+            ranked_ck.filter(F.col("__done")).select(
+                "__pid", "__sid", "__dist", "__rank"
+            )
+        )
+        done_ids = ranked_ck.filter(F.col("__done")).select("__pid").distinct()
+        nxt = unresolved.join(done_ids, "__pid", "left_anti").persist()
+        n_unres = nxt.count()
+        unresolved = nxt.localCheckpoint(eager=True)
+        nxt.unpersist()
+        if n_unres == 0:
+            break
+        best = ranked_ck.filter(~F.col("__done")).select(
+            "__pid", "__px", "__py", "__sid", "__dist"
+        )
+        r_prev, r = r, r * 2
+
+    if n_unres > 0:
+        if res == 0:
+            # the single world cell was probed: best-so-far IS exact
+            finished_parts.append(
+                best.withColumn("__rank", F.row_number().over(w)).select(
+                    "__pid", "__sid", "__dist", "__rank"
+                )
+            )
+        else:
+            finished_parts.append(coarsen(unresolved))
+
+    results = finished_parts[0]
+    for part in finished_parts[1:]:
+        results = results.unionByName(part)
+    return results
+
+
 def knn_match(
     points: DataFrame,
     segments: DataFrame,
@@ -122,112 +217,38 @@ def knn_match(
         (F.col("__px") - F.col("__sx")) * (F.col("__px") - F.col("__sx"))
         + (F.col("__py") - F.col("__sy")) * (F.col("__py") - F.col("__sy"))
     )
-    wp = Window.partitionBy("__pid")
-    w = wp.orderBy(F.col("__dist"), F.col("__sid"))
 
-    finished_parts: list[DataFrame] = []
-    best = None  # carried top-k candidates of still-unresolved points
-    r_prev, r = -1, 1
-    n_unres = 1
-    while r <= max_ring:
-        probe = unresolved.withColumn(
-            "__cell", F.explode(_annulus_cells(F.col("__pcell"), r_prev, r, res))
+    def coarsen(unres):
+        # sparse leftovers: coarsen 3 levels (8x fewer ring cells) and
+        # re-search just those points — exact at any resolution,
+        # terminates at res 0 without ever cross-joining
+        sub = knn_match(
+            unres.select(
+                F.col("__pid").alias(point_id),
+                F.col("__px").alias(px),
+                F.col("__py").alias(py),
+            ),
+            segments, k=k, res=max(res - 3, 0), max_ring=max_ring,
+            point_id=point_id, seg_id=seg_id,
+            point_xy=point_xy, seg_xy=seg_xy, world=world,
         )
-        cand = (
-            probe.join(segs, "__cell")
-            .withColumn("__dist", dist)
-            .select("__pid", "__px", "__py", "__sid", "__dist")
+        return sub.select(
+            F.col(point_id).alias("__pid"),
+            F.col(seg_id).alias("__sid"),
+            F.col("dist").alias("__dist"),
+            F.col("rank").alias("__rank"),
         )
-        allc = cand if best is None else cand.unionByName(best)
-        bound = float(r) * cell_min
-        ranked = (
-            allc.withColumn("__rank", F.row_number().over(w))
-            .filter(F.col("__rank") <= k)
-            .withColumn(
-                "__done",
-                (F.count("*").over(wp) >= k)
-                & (F.max("__dist").over(wp) <= F.lit(bound)),
-            )
-        )
-        # direct eager checkpoint: unlike the CC loop, each round's
-        # inputs are an RDD (real carried stats) and the parquet-backed
-        # segs projection, so stats cannot compound round-over-round
-        # and no pre-count materialization is needed
-        ranked_ck = ranked.localCheckpoint(eager=True)
-        finished_parts.append(
-            ranked_ck.filter(F.col("__done")).select(
-                "__pid", "__sid", "__dist", "__rank"
-            )
-        )
-        done_ids = ranked_ck.filter(F.col("__done")).select("__pid").distinct()
-        nxt = unresolved.join(done_ids, "__pid", "left_anti").persist()
-        n_unres = nxt.count()
-        unresolved = nxt.localCheckpoint(eager=True)
-        nxt.unpersist()
-        if n_unres == 0:
-            break
-        best = ranked_ck.filter(~F.col("__done")).select(
-            "__pid", "__px", "__py", "__sid", "__dist"
-        )
-        r_prev, r = r, r * 2
 
-    if n_unres > 0:
-        if res == 0:
-            # the single world cell was probed: best-so-far IS exact
-            # (fewer than k segments exist, or ties at the world scale)
-            finished_parts.append(
-                best.withColumn("__rank", F.row_number().over(w)).select(
-                    "__pid", "__sid", "__dist", "__rank"
-                )
-            )
-        else:
-            # sparse leftovers: coarsen 3 levels (8× fewer ring cells)
-            # and re-search just those points — exact at any resolution,
-            # terminates at res 0 without ever cross-joining
-            sub = knn_match(
-                unresolved.select(
-                    F.col("__pid").alias(point_id),
-                    F.col("__px").alias(px),
-                    F.col("__py").alias(py),
-                ),
-                segments, k=k, res=max(res - 3, 0), max_ring=max_ring,
-                point_id=point_id, seg_id=seg_id,
-                point_xy=point_xy, seg_xy=seg_xy, world=world,
-            )
-            finished_parts.append(
-                sub.select(
-                    F.col(point_id).alias("__pid"),
-                    F.col(seg_id).alias("__sid"),
-                    F.col("dist").alias("__dist"),
-                    F.col("rank").alias("__rank"),
-                )
-            )
-
-    results = finished_parts[0]
-    for part in finished_parts[1:]:
-        results = results.unionByName(part)
+    results = _ring_search(
+        unresolved, segs, dist, k, res, max_ring, cell_min,
+        dedupe_pairs=False, coarsen=coarsen,
+    )
     return results.select(
         F.col("__pid").alias(point_id),
         F.col("__sid").alias(seg_id),
         F.col("__dist").alias("dist"),
         F.col("__rank").alias("rank"),
     )
-
-
-def segment_midpoints(edges: DataFrame, geometry_col: str = "geometry") -> DataFrame:
-    """Arc-length midpoints of WKB line geometries (the representative
-    point of each chordified segment — reference intersect.py:707
-    representative_point analog for lines)."""
-    from osm_chordify_spark import geom as G
-
-    @F.pandas_udf("mx double, my double")
-    def mid(geom: pd.Series) -> pd.DataFrame:
-        pts = [G.polyline_midpoint(G.geometry_lines(bytes(g))[0]) for g in geom]
-        return pd.DataFrame(pts, columns=["mx", "my"])
-
-    return edges.withColumn("__mid", mid(F.col(geometry_col))).select(
-        "*", F.col("__mid.mx").alias("mx"), F.col("__mid.my").alias("my")
-    ).drop("__mid")
 
 
 def within_distance_join(
@@ -437,91 +458,48 @@ def knn_match_segments(
         (F.col("__px") - qx) * (F.col("__px") - qx)
         + (F.col("__py") - qy) * (F.col("__py") - qy)
     )
-    wp = Window.partitionBy("__pid")
-    w = wp.orderBy(F.col("__dist"), F.col("__sid"))
 
-    finished_parts: list[DataFrame] = []
-    best = None
-    r_prev, r = -1, 1
-    n_unres = 1
-    while r <= max_ring:
-        probe = unresolved.withColumn(
-            "__cell", F.explode(_annulus_cells(F.col("__pcell"), r_prev, r, res))
+    def coarsen(unres):
+        sub = knn_match_segments(
+            unres.select(
+                F.col("__pid").alias(point_id),
+                F.col("__px").alias(px),
+                F.col("__py").alias(py),
+            ),
+            segments, k=k, res=max(res - 3, 0), max_ring=max_ring,
+            point_id=point_id, seg_id=seg_id,
+            point_xy=point_xy, seg_ends=seg_ends, world=world,
         )
-        cand = (
-            probe.join(segs, "__cell")
-            .withColumn("__dist", dist)
-            .select("__pid", "__px", "__py", "__sid", "__dist")
+        return sub.select(
+            F.col(point_id).alias("__pid"),
+            F.col(seg_id).alias("__sid"),
+            F.col("dist").alias("__dist"),
+            F.col("rank").alias("__rank"),
         )
-        allc = cand if best is None else cand.unionByName(best)
-        # a segment reached via several cells yields duplicate pairs —
-        # collapse before ranking or one segment eats two ranks
-        allc = allc.groupBy("__pid", "__sid").agg(
-            F.first("__px").alias("__px"),
-            F.first("__py").alias("__py"),
-            F.min("__dist").alias("__dist"),
-        )
-        bound = float(r) * cell_min
-        ranked = (
-            allc.withColumn("__rank", F.row_number().over(w))
-            .filter(F.col("__rank") <= k)
-            .withColumn(
-                "__done",
-                (F.count("*").over(wp) >= k)
-                & (F.max("__dist").over(wp) <= F.lit(bound)),
-            )
-        )
-        ranked_ck = ranked.localCheckpoint(eager=True)
-        finished_parts.append(
-            ranked_ck.filter(F.col("__done")).select(
-                "__pid", "__sid", "__dist", "__rank"
-            )
-        )
-        done_ids = ranked_ck.filter(F.col("__done")).select("__pid").distinct()
-        nxt = unresolved.join(done_ids, "__pid", "left_anti").persist()
-        n_unres = nxt.count()
-        unresolved = nxt.localCheckpoint(eager=True)
-        nxt.unpersist()
-        if n_unres == 0:
-            break
-        best = ranked_ck.filter(~F.col("__done")).select(
-            "__pid", "__px", "__py", "__sid", "__dist"
-        )
-        r_prev, r = r, r * 2
 
-    if n_unres > 0:
-        if res == 0:
-            finished_parts.append(
-                best.withColumn("__rank", F.row_number().over(w)).select(
-                    "__pid", "__sid", "__dist", "__rank"
-                )
-            )
-        else:
-            sub = knn_match_segments(
-                unresolved.select(
-                    F.col("__pid").alias(point_id),
-                    F.col("__px").alias(px),
-                    F.col("__py").alias(py),
-                ),
-                segments, k=k, res=max(res - 3, 0), max_ring=max_ring,
-                point_id=point_id, seg_id=seg_id,
-                point_xy=point_xy, seg_ends=seg_ends, world=world,
-            )
-            finished_parts.append(
-                sub.select(
-                    F.col(point_id).alias("__pid"),
-                    F.col(seg_id).alias("__sid"),
-                    F.col("dist").alias("__dist"),
-                    F.col("rank").alias("__rank"),
-                )
-            )
-
-    results = finished_parts[0]
-    for part in finished_parts[1:]:
-        results = results.unionByName(part)
+    results = _ring_search(
+        unresolved, segs, dist, k, res, max_ring, cell_min,
+        dedupe_pairs=True, coarsen=coarsen,
+    )
     return results.select(
         F.col("__pid").alias(point_id),
         F.col("__sid").alias(seg_id),
         F.col("__dist").alias("dist"),
         F.col("__rank").alias("rank"),
     )
+
+
+def segment_midpoints(edges: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Arc-length midpoints of WKB line geometries (the representative
+    point of each chordified segment — reference intersect.py:707
+    representative_point analog for lines)."""
+    from osm_chordify_spark import geom as G
+
+    @F.pandas_udf("mx double, my double")
+    def mid(geom: pd.Series) -> pd.DataFrame:
+        pts = [G.polyline_midpoint(G.geometry_lines(bytes(g))[0]) for g in geom]
+        return pd.DataFrame(pts, columns=["mx", "my"])
+
+    return edges.withColumn("__mid", mid(F.col(geometry_col))).select(
+        "*", F.col("__mid.mx").alias("mx"), F.col("__mid.my").alias("my")
+    ).drop("__mid")
