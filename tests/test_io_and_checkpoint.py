@@ -154,3 +154,40 @@ def test_snapshot_table_versions_time_travel_and_torn_writes(spark, tmp_path):
     df2.write.parquet(orphan)
     assert ST.read_snapshot(spark, tdir).count() == 5
     assert ST.latest_version(tdir) == 1
+
+
+def test_raster_job_end_to_end_and_resume(spark, tmp_path):
+    """Drive jobs/raster_job.py: run with GeoTIFF export, then re-run →
+    every stage short-circuits (manifests untouched)."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "rout")
+    ckpt = str(tmp_path / "rck")
+    tif = str(tmp_path / "density.tif")
+    cmd = [
+        sys.executable, "/root/repo/jobs/raster_job.py",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--output", out, "--checkpoint-dir", ckpt, "--geotiff", tif,
+    ]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=420)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    manifests = {f for f in os.listdir(ckpt) if f.endswith(".manifest.json")}
+    assert manifests == {
+        "density.manifest.json", "smoothed.manifest.json",
+        "zonal.manifest.json", "regions.manifest.json",
+    }
+    assert os.path.getsize(tif) > 8
+    zonal = spark.read.parquet(os.path.join(out, "zonal")).toPandas()
+    assert len(zonal) == 12 and zonal["n_cells"].sum() > 0
+
+    t0 = os.path.getmtime(os.path.join(ckpt, "smoothed.parquet"))
+    cmd2 = [
+        sys.executable, "/root/repo/jobs/raster_job.py",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--output", str(tmp_path / "rout2"), "--checkpoint-dir", ckpt,
+    ]
+    r2 = subprocess.run(cmd2, capture_output=True, text=True, env=env, timeout=420)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert os.path.getmtime(os.path.join(ckpt, "smoothed.parquet")) == t0
