@@ -420,19 +420,16 @@ def intersect_lines_with_zones(
                 # covering cells of the whole edge at index res
                 xs = np.concatenate([ln[:, 0] for ln in lines])
                 ys = np.concatenate([ln[:, 1] for ln in lines])
-                cover = ci.cover_bbox(
-                    xs.min(), ys.min(), xs.max(), ys.max(), idx.res,
-                    idx.world, max_cells=1 << 20,
+                zcand, full, ncells = idx.candidates_for_bbox(
+                    xs.min(), ys.min(), xs.max(), ys.max()
                 )
-                ci_idx, zcand, full = idx.candidates_for_cells(np.sort(cover))
                 if len(zcand) == 0:
                     continue
                 edge_len = round(sum(G.polyline_length(ln) for ln in lines), 2)
                 edge_lens[r] = edge_len
-                n_cells = len(cover)
                 for z in np.unique(zcand):
                     zmask = zcand == z
-                    if full[zmask].all() and zmask.sum() == n_cells:
+                    if full[zmask].all() and zmask.sum() == ncells[zmask][0]:
                         # fast path (reference intersect.py:703-733)
                         emit(r, z, 1.0 if edge_len > 0 else 0.0,
                              edge_len, edge_len, lines)
@@ -597,17 +594,14 @@ def intersect_polygons_with_zones(
                 y0 = min(G.polygon_bbox(p)[1] for p in subj_polys)
                 x1 = max(G.polygon_bbox(p)[2] for p in subj_polys)
                 y1 = max(G.polygon_bbox(p)[3] for p in subj_polys)
-                cover = ci.cover_bbox(x0, y0, x1, y1, idx.res, idx.world,
-                                      max_cells=1 << 20)
-                _, zcand, full = idx.candidates_for_cells(np.sort(cover))
+                zcand, full, ncells = idx.candidates_for_bbox(x0, y0, x1, y1)
                 if len(zcand) == 0:
                     continue
                 subj_area = round(sum(G.polygon_area(p) for p in subj_polys), 2)
                 full_len = float(len_vals[r]) if len_vals is not None else None
-                n_cells = len(cover)
                 for z in np.unique(zcand):
                     zmask = zcand == z
-                    contained = full[zmask].all() and zmask.sum() == n_cells
+                    contained = full[zmask].all() and zmask.sum() == ncells[zmask][0]
                     if contained:
                         overlap = subj_area
                         pieces_wkb = bytes(geoms[r])
@@ -717,14 +711,12 @@ def spatial_left_join_with_zones(
                     xs = np.concatenate([p[0][:, 0] for p in parts])
                     ys = np.concatenate([p[0][:, 1] for p in parts])
                 row_parts[r] = parts
-                cover = ci.cover_bbox(
-                    xs.min(), ys.min(), xs.max(), ys.max(), idx.res, idx.world,
-                    max_cells=1 << 20,
+                zcand, full, ncells = idx.candidates_for_bbox(
+                    xs.min(), ys.min(), xs.max(), ys.max()
                 )
-                _, zcand, full = idx.candidates_for_cells(np.sort(cover))
                 for z in np.unique(zcand):
                     zmask = zcand == z
-                    if full[zmask].all() and zmask.sum() == len(cover):
+                    if full[zmask].all() and zmask.sum() == ncells[zmask][0]:
                         hits[r].add(int(z))
                     else:
                         pending.setdefault(int(z), []).append(r)

@@ -75,28 +75,15 @@ def zones_to_df(spark, zones: Zones, geometry_col: str = "geometry") -> DataFram
     return spark.createDataFrame(pdf)
 
 
-def _effective_res(zones_df: DataFrame, geometry_col: str, index_res: int,
-                   world, max_cells_per_zone: int) -> int:
-    """Global effective resolution = min over zones of the per-zone
-    over-cover guard — the same global coarsening ZoneIndex.build does,
-    computed as one tiny agg instead of a driver loop."""
-
-    def per_batch(batches):
-        for pdf in batches:
-            r = index_res
-            for g in pdf[geometry_col]:
-                polys = G.geometry_polygons(bytes(g))
-                r = min(r, ZI.zone_min_res(polys, r, world, max_cells_per_zone))
-            yield pd.DataFrame({"r": [r]})
-
-    row = (
-        zones_df.select(geometry_col)
-        .mapInPandas(per_batch, schema="r int")
-        .agg(F.min("r").alias("r"))
-        .collect()[0]
-    )
-    return int(row.r) if row.r is not None else index_res
-
+def _zone_res_list(zcells: DataFrame, cell_col: str = "cell") -> list[int]:
+    """Sorted distinct resolutions occupied by a zone cover-cell table
+    (≤ MAX_RES+1 values) — the probe side explodes its covers at exactly
+    these resolutions.  One tiny distinct over the (already
+    materialized) zone side."""
+    rows = zcells.select(
+        F.shiftright(cell_col, 58).alias("r")
+    ).distinct().collect()
+    return sorted(int(r.r) for r in rows)
 
 
 def _build_candidates(edges, zones_df, zone_fields, zone_renames, edge_renames,
@@ -105,10 +92,19 @@ def _build_candidates(edges, zones_df, zone_fields, zone_renames, edge_renames,
     """Shared candidate machinery for the distributed operators:
     frozen-id zone payload, zone/edge cell tables, and the
     (edge, zone, contained, edge_len) candidate set from the cell
-    equi-join + containment aggregate."""
-    eff_res = _effective_res(zones_df, geometry_col, index_res, world,
-                             max_cells_per_zone)
+    equi-join + containment aggregate.
 
+    Mixed-resolution covers (round 4): each zone's cover lives at its
+    OWN over-cover-guarded resolution (``ZI.zone_min_res`` per zone —
+    the same per-zone classification ``ZoneIndex.build`` uses, so the
+    two paths stay candidate-identical).  The edge side explodes its
+    bbox cover once per OCCUPIED resolution; since the equi-join key
+    carries the resolution in its high bits, an (edge, zone) group only
+    ever sees rows at the zone's resolution, so the containment
+    aggregate (hits == n_cells at that res AND all full) is unchanged.
+    Cost: coarser covers shrink 4× per level, so the multi-res edge
+    explode is ≤ 4/3 the single-res row count plus one small |R|-row
+    collect for the occupied-resolution list."""
     # ---- zone side: freeze ids, explode to (cell, __zid, full) ----------
     # monotonically_increasing_id is only stable within one materialized
     # plan; the eager localCheckpoint freezes the ids so every branch
@@ -128,8 +124,9 @@ def _build_candidates(edges, zones_df, zone_fields, zone_renames, edge_renames,
             zids, cells, fulls = [], [], []
             for zid, g in zip(pdf["__zid"], pdf["__zgeom"]):
                 polys = G.geometry_polygons(bytes(g))
+                zr = ZI.zone_min_res(polys, index_res, world, max_cells_per_zone)
                 for c, full in ZI.zone_cover_cells(
-                    polys, eff_res, world, max_cells_per_zone
+                    polys, zr, world, max_cells_per_zone
                 ).items():
                     zids.append(zid)
                     cells.append(c)
@@ -138,9 +135,11 @@ def _build_candidates(edges, zones_df, zone_fields, zone_renames, edge_renames,
                                 "cell": pd.Series(cells, dtype="int64"),
                                 "full": pd.Series(fulls, dtype="bool")})
 
+    # materialized once: read twice (res-list collect + the equi-join)
     zcells = zindexed.select("__zid", "__zgeom").mapInPandas(
         zone_cells, schema="__zid long, cell long, full boolean"
-    )
+    ).localCheckpoint(eager=True)
+    res_list = _zone_res_list(zcells) or [index_res]
 
     # ---- edge side: ids + (cell, n_cells, rounded length) cover rows ----
     e = edges.withColumn("__eid", F.monotonically_increasing_id())
@@ -166,15 +165,17 @@ def _build_candidates(edges, zones_df, zone_fields, zone_renames, edge_renames,
                     elen = round(sum(G.polyline_length(ln) for ln in parts), 2)
                 xs = np.concatenate([np.asarray(pt)[:, 0] for pt in parts])
                 ys = np.concatenate([np.asarray(pt)[:, 1] for pt in parts])
-                cover = ci.cover_bbox(
-                    xs.min(), ys.min(), xs.max(), ys.max(), eff_res, world,
-                    max_cells=1 << 20,
-                )
-                n = len(cover)
-                eids.extend([eid] * n)
-                cells.extend(cover.tolist())
-                ncs.extend([n] * n)
-                lens.extend([elen] * n)
+                bx0, by0 = xs.min(), ys.min()
+                bx1, by1 = xs.max(), ys.max()
+                for rr in res_list:
+                    cover = ci.cover_bbox(
+                        bx0, by0, bx1, by1, rr, world, max_cells=1 << 20,
+                    )
+                    n = len(cover)
+                    eids.extend([eid] * n)
+                    cells.extend(cover.tolist())
+                    ncs.extend([n] * n)
+                    lens.extend([elen] * n)
             yield pd.DataFrame({"__eid": pd.Series(eids, dtype="int64"),
                                 "cell": pd.Series(cells, dtype="int64"),
                                 "n_cells": pd.Series(ncs, dtype="int32"),
@@ -185,6 +186,9 @@ def _build_candidates(edges, zones_df, zone_fields, zone_renames, edge_renames,
     )
 
     # ---- candidate pairs: cell equi-join + containment aggregate --------
+    # every row of an (edge, zone) group is at the zone's single cover
+    # resolution (the join key embeds res), so first(n_cells) is the
+    # edge-cover size at exactly that resolution
     cand = (
         ecells.join(zcells, "cell")
         .groupBy("__eid", "__zid")
@@ -200,7 +204,7 @@ def _build_candidates(edges, zones_df, zone_fields, zone_renames, edge_renames,
         )
         .select("__eid", "__zid", "__contained", "__elen")
     )
-    return e, epay, zindexed, cand, eff_res
+    return e, epay, zindexed, cand, min(res_list)
 
 
 def intersect_lines_with_zones_dist(
@@ -599,32 +603,16 @@ def nearest_zone_dist(
     salted grouped kernel scores exact point-to-boundary distances
     (containment ⇒ 0).  A point resolves when its best distance ≤
     (r-1)·cell_min, the same cover-cell bound the broadcast path uses.
+    Mixed-resolution covers (round 4): each zone's cover lives at its
+    own over-cover-guarded resolution; the annulus search runs ONCE PER
+    OCCUPIED resolution (each with its own cell_min bound — the stop
+    argument only holds per resolution), and the per-resolution winners
+    combine by min (dist, zone_id) — the same search
+    ``ZoneIndex.assign_points_nearest`` performs, so parity holds.
     Returns (point_id, zone_id, dist); points that found NO zone within
     ``max_ring`` are absent from the output (inner-join semantics —
     left-join back to keep them as NULL)."""
-    from osm_chordify_spark.operators.graph import _grouped_map
-    from osm_chordify_spark.operators.knn import _annulus_cells
-
     # ---- zone side: frozen ids + cover-cell table (shared classifiers)
-    def res_batch(batches):
-        for pdf in batches:
-            r = index_res
-            for g in pdf[geometry_col]:
-                polys = G.geometry_polygons(bytes(g))
-                r = min(r, ZI.zone_min_res(polys, r, world, max_cells_per_zone))
-            yield pd.DataFrame({"r": [r]})
-
-    row = (
-        zones_df.select(geometry_col)
-        .mapInPandas(res_batch, schema="r int")
-        .agg(F.min("r").alias("r"))
-        .collect()[0]
-    )
-    eff_res = int(row.r) if row.r is not None else index_res
-    x0, y0, x1, y1 = world
-    n = 1 << eff_res
-    cell_min = min((x1 - x0) / n, (y1 - y0) / n)
-
     zindexed = zones_df.select(
         F.monotonically_increasing_id().alias("__zid"),
         F.col(zone_id_col).alias("__zname"),
@@ -636,8 +624,9 @@ def nearest_zone_dist(
             zids, cells = [], []
             for zid, g in zip(pdf["__zid"], pdf["__zgeom"]):
                 polys = G.geometry_polygons(bytes(g))
+                zr = ZI.zone_min_res(polys, index_res, world, max_cells_per_zone)
                 for c in ZI.zone_cover_cells(
-                    polys, eff_res, world, max_cells_per_zone
+                    polys, zr, world, max_cells_per_zone
                 ):
                     zids.append(zid)
                     cells.append(c)
@@ -651,15 +640,13 @@ def nearest_zone_dist(
         .mapInPandas(zone_cells, schema="__zid long, __cell long")
         .localCheckpoint(eager=True)
     )
+    res_list = _zone_res_list(zcells, "__cell") or [index_res]
 
     px, py = point_xy
-    from osm_chordify_spark.functions.cells import cell_expr
-
-    unresolved = points.select(
+    pbase = points.select(
         F.col(point_id).alias("__pid"),
         F.col(px).alias("__px"),
         F.col(py).alias("__py"),
-        cell_expr(F.col(px), F.col(py), eff_res, world).alias("__pcell"),
     ).localCheckpoint(eager=True)
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -683,69 +670,102 @@ def nearest_zone_dist(
             {"__pid": pdf["__pid"], "__zid": pdf["__zid"], "__dist": best}
         )
 
-    finished: list[DataFrame] = []
-    best = None  # carried (pid, px, py, pcell, zid, dist) per point
-    r_prev, r = -1, 1
-    rounds = 0
-    while True:
-        probe = unresolved.withColumn(
-            "__cell", F.explode(_annulus_cells(F.col("__pcell"), r_prev, r, eff_res))
-        )
-        cand = (
-            probe.join(zcells, "__cell")
-            .select("__pid", "__px", "__py", "__zid")
-            .distinct()
-            .join(zindexed.select("__zid", "__zgeom"), "__zid")
-            .withColumn(
-                "__gk",
-                F.concat_ws(
-                    "#", F.col("__zid"),
-                    F.pmod(F.xxhash64("__pid"), F.lit(salt_buckets)),
-                ),
+    from osm_chordify_spark.functions.cells import cell_expr
+    from osm_chordify_spark.operators.graph import _grouped_map
+    from osm_chordify_spark.operators.knn import _annulus_cells
+
+    x0, y0, x1, y1 = world
+
+    def search_at(rr: int) -> DataFrame:
+        """The annulus search against the zones indexed at resolution
+        ``rr`` only — (pid, zid, dist) winners for that zone subset."""
+        n = 1 << rr
+        cell_min = min((x1 - x0) / n, (y1 - y0) / n)
+        zc_r = zcells.filter(F.shiftright("__cell", 58) == rr)
+        unresolved = pbase.withColumn(
+            "__pcell", cell_expr(F.col("__px"), F.col("__py"), rr, world)
+        ).localCheckpoint(eager=True)
+
+        finished: list[DataFrame] = []
+        best = None  # carried (pid, zid, dist) per point
+        r_prev, r = -1, 1
+        while True:
+            probe = unresolved.withColumn(
+                "__cell", F.explode(_annulus_cells(F.col("__pcell"), r_prev, r, rr))
             )
-        )
-        scored = _grouped_map(
-            cand, "__gk", score, "__pid long, __zid long, __dist double"
-        )
-        allc = scored if best is None else scored.unionByName(best)
-        # tie-break on the USER-VISIBLE zone id (lexicographic), not the
-        # partition-dependent internal __zid — overlapping/equidistant
-        # zones must resolve identically run-to-run and across paths
-        ranked = (
-            allc.join(zindexed.select("__zid", "__zname"), "__zid")
+            cand = (
+                probe.join(zc_r, "__cell")
+                .select("__pid", "__px", "__py", "__zid")
+                .distinct()
+                .join(zindexed.select("__zid", "__zgeom"), "__zid")
+                .withColumn(
+                    "__gk",
+                    F.concat_ws(
+                        "#", F.col("__zid"),
+                        F.pmod(F.xxhash64("__pid"), F.lit(salt_buckets)),
+                    ),
+                )
+            )
+            scored = _grouped_map(
+                cand, "__gk", score, "__pid long, __zid long, __dist double"
+            )
+            allc = scored if best is None else scored.unionByName(best)
+            # tie-break on the USER-VISIBLE zone id (lexicographic), not
+            # the partition-dependent internal __zid — overlapping /
+            # equidistant zones must resolve identically run-to-run and
+            # across paths
+            ranked = (
+                allc.join(zindexed.select("__zid", "__zname"), "__zid")
+                .groupBy("__pid")
+                .agg(F.min(F.struct("__dist", "__zname", "__zid")).alias("__b"))
+                .select("__pid", F.col("__b.__zid").alias("__zid"),
+                        F.col("__b.__dist").alias("__dist"))
+                .join(unresolved, "__pid")
+            )
+            bound = max(r - 1, 0) * cell_min
+            done = ranked.filter(F.col("__dist") <= bound).select(
+                "__pid", "__zid", "__dist"
+            ).localCheckpoint(eager=True)
+            finished.append(done)
+            still = ranked.filter(F.col("__dist") > bound)
+            if r >= max_ring:
+                # give up on the bound: best seen wins (documented cap)
+                finished.append(
+                    still.select("__pid", "__zid", "__dist")
+                    .localCheckpoint(eager=True)
+                )
+                break
+            # a point stays unresolved until RESOLVED — including points
+            # whose annuli so far found no candidate at all (not ranked)
+            nxt_unres = unresolved.join(
+                done.select("__pid"), "__pid", "left_anti"
+            ).localCheckpoint(eager=True)
+            if nxt_unres.isEmpty():
+                break
+            best = still.select("__pid", "__zid", "__dist").localCheckpoint(
+                eager=True
+            )
+            unresolved = nxt_unres
+            r_prev, r = r, min(r * 2, max_ring)
+
+        out = finished[0]
+        for p in finished[1:]:
+            out = out.unionByName(p)
+        return out
+
+    out = search_at(res_list[0])
+    for rr in res_list[1:]:
+        out = out.unionByName(search_at(rr))
+    if len(res_list) > 1:
+        # combine the per-resolution winners: min (dist, zone_id, zid) —
+        # the same lexicographic tie-break used within each search
+        out = (
+            out.join(zindexed.select("__zid", "__zname"), "__zid")
             .groupBy("__pid")
             .agg(F.min(F.struct("__dist", "__zname", "__zid")).alias("__b"))
             .select("__pid", F.col("__b.__zid").alias("__zid"),
                     F.col("__b.__dist").alias("__dist"))
-            .join(unresolved, "__pid")
         )
-        bound = max(r - 1, 0) * cell_min
-        done = ranked.filter(F.col("__dist") <= bound).select(
-            "__pid", "__zid", "__dist"
-        ).localCheckpoint(eager=True)
-        finished.append(done)
-        still = ranked.filter(F.col("__dist") > bound)
-        rounds += 1
-        if r >= max_ring:
-            # give up on the bound: best seen wins (documented cap)
-            finished.append(
-                still.select("__pid", "__zid", "__dist").localCheckpoint(eager=True)
-            )
-            break
-        # a point stays unresolved until RESOLVED — including points whose
-        # annuli so far found no candidate at all (not in ranked yet)
-        nxt_unres = unresolved.join(
-            done.select("__pid"), "__pid", "left_anti"
-        ).localCheckpoint(eager=True)
-        if nxt_unres.isEmpty():
-            break
-        best = still.select("__pid", "__zid", "__dist").localCheckpoint(eager=True)
-        unresolved = nxt_unres
-        r_prev, r = r, min(r * 2, max_ring)
-
-    out = finished[0]
-    for p in finished[1:]:
-        out = out.unionByName(p)
     return (
         out.join(zindexed.select("__zid", "__zname"), "__zid")
         .select(

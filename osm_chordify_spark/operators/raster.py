@@ -828,37 +828,24 @@ def zonal_stats_dist(
     from osm_chordify_spark.functions.cells import cell_expr
     from osm_chordify_spark.operators import zoneindex as ZI
 
-    # effective resolution: same global over-cover coarsening as
-    # ZoneIndex.build, computed as one tiny aggregate
-    def res_batch(batches):
-        for pdf in batches:
-            r = res
-            for g in pdf[geometry_col]:
-                polys = G.geometry_polygons(bytes(g))
-                r = min(r, ZI.zone_min_res(polys, r, world, max_cells_per_zone))
-            yield pd.DataFrame({"r": [r]})
-
-    row = (
-        zones_df.select(geometry_col)
-        .mapInPandas(res_batch, schema="r int")
-        .agg(F.min("r").alias("r"))
-        .collect()[0]
-    )
-    eff_res = int(row.r) if row.r is not None else res
-
     zindexed = zones_df.select(
         F.monotonically_increasing_id().alias("__zid"),
         F.col(zone_id_col).alias("zone_id"),
         F.col(geometry_col).alias("__zgeom"),
     ).localCheckpoint(eager=True)
 
+    # mixed-resolution covers (round 4): each zone's cover lives at its
+    # own over-cover-guarded resolution — the same per-zone
+    # classification ZoneIndex.build uses, so one continental zone no
+    # longer coarsens every tract's cover
     def zone_cells(batches):
         for pdf in batches:
             zids, cells, fulls = [], [], []
             for zid, g in zip(pdf["__zid"], pdf["__zgeom"]):
                 polys = G.geometry_polygons(bytes(g))
+                zr = ZI.zone_min_res(polys, res, world, max_cells_per_zone)
                 for c, full in ZI.zone_cover_cells(
-                    polys, eff_res, world, max_cells_per_zone
+                    polys, zr, world, max_cells_per_zone
                 ).items():
                     zids.append(zid)
                     cells.append(c)
@@ -873,16 +860,24 @@ def zonal_stats_dist(
 
     zcells = zindexed.select("__zid", "__zgeom").mapInPandas(
         zone_cells, schema="__zid long, __icell long, full boolean"
-    )
+    ).localCheckpoint(eager=True)
+    from osm_chordify_spark.operators.intersect_dist import _zone_res_list
 
-    # raster cells → index cell of the CENTER, all codegen
+    res_list = _zone_res_list(zcells, "__icell") or [res]
+
+    # raster cells → index cell of the CENTER at each occupied
+    # resolution, all codegen (a point matches a zone through exactly
+    # one resolution, so the explode introduces no duplicate candidates)
     cells = raster_cells(tiles, grid, drop_zero=True)
     centers = cells.select(
         "value",
         (F.lit(grid.x0) + (F.col("cell_x") + F.lit(0.5)) * grid.dx).alias("__cx"),
         (F.lit(grid.y0) + (F.col("cell_y") + F.lit(0.5)) * grid.dy).alias("__cy"),
     ).withColumn(
-        "__icell", cell_expr(F.col("__cx"), F.col("__cy"), eff_res, world)
+        "__icell",
+        F.explode(F.array(*[
+            cell_expr(F.col("__cx"), F.col("__cy"), rr, world) for rr in res_list
+        ])),
     )
 
     cand = centers.join(zcells, "__icell")

@@ -40,10 +40,14 @@ def parse_zone_polys(geom_):
 
 
 def zone_min_res(polys, res: int, world=ci.WORLD, max_cells_per_zone: int = 4096) -> int:
-    """Coarsest resolution any of this zone's polygon bboxes needs to keep
+    """Coarsest resolution any of THIS zone's polygon bboxes needs to keep
     its cover within ``max_cells_per_zone`` (the over-cover guard) —
     shared by the broadcast index and the distributed cell-join path so
-    both compute the IDENTICAL effective resolution."""
+    both compute the IDENTICAL per-zone effective resolution.  Since
+    round 4 the guard is applied PER ZONE (mixed-resolution index): one
+    continental polygon in a tract table coarsens only its own cover,
+    not every zone's (the reference's loaders impose no size
+    homogeneity, reference utils/data_collection.py:169-236)."""
     eff = res
     for rings in polys:
         x0, y0, x1, y1 = G.polygon_bbox(rings)
@@ -86,9 +90,18 @@ def zone_cover_cells(polys, res: int, world=ci.WORLD,
 
 @dataclass
 class ZoneIndex:
-    """Flat searchable cell→candidates map (NumPy, pickle-friendly)."""
+    """Flat searchable cell→candidates map (NumPy, pickle-friendly).
 
-    res: int
+    Mixed-resolution since round 4: every zone's cover lives at ITS OWN
+    effective resolution (``zone_res[ordinal]``), so one continental
+    polygon no longer coarsens the whole index.  Cell ids carry their
+    resolution in the high bits (cellindex encoding), so a single sorted
+    array indexes all resolutions; probes look up the point/bbox cell at
+    each OCCUPIED resolution (``res_list``, typically 1-3 values) and
+    union the candidates — a zone matches through exactly one
+    resolution, so no dedup is needed."""
+
+    res: int  # coarsest occupied resolution (back-compat scalar)
     world: tuple
     # sorted unique covering cells + CSR-style offsets into candidates
     cells: np.ndarray  # int64, sorted
@@ -97,26 +110,33 @@ class ZoneIndex:
     cand_full: np.ndarray  # bool per candidate entry
     zone_ids: list  # ordinal → user zone id
     zone_rings: list = field(repr=False)  # ordinal → list[rings]
+    res_list: np.ndarray = None  # sorted unique occupied resolutions
+    zone_res: np.ndarray = None  # ordinal → that zone's cover resolution
+
+    def __post_init__(self):
+        if self.res_list is None:
+            self.res_list = np.array([self.res], dtype=np.int64)
+        if self.zone_res is None:
+            self.zone_res = np.full(len(self.zone_ids), self.res, dtype=np.int64)
 
     @staticmethod
     def build(zones, res: int = 9, world=ci.WORLD, max_cells_per_zone: int = 4096):
         """zones: iterable of (zone_id, rings) where rings is
         [outer, hole, ...] NumPy arrays, or (zone_id, wkb bytes).
 
-        The effective resolution is coarsened until every zone's bbox
-        cover fits ``max_cells_per_zone`` (the over-cover guard)."""
+        Each zone's resolution is coarsened INDEPENDENTLY until its bbox
+        cover fits ``max_cells_per_zone`` (the per-zone over-cover
+        guard); zones that fit at ``res`` stay at ``res``."""
         parsed = [(zid, parse_zone_polys(geom_)) for zid, geom_ in zones]
 
-        eff_res = res
-        for _zid, polys in parsed:
-            eff_res = min(eff_res, zone_min_res(polys, eff_res, world, max_cells_per_zone))
-
         cell_list, zone_list, full_list = [], [], []
-        zone_ids, zone_rings = [], []
+        zone_ids, zone_rings, zres = [], [], []
         for ordinal, (zid, polys) in enumerate(parsed):
             zone_ids.append(zid)
             zone_rings.append(polys)
-            seen = zone_cover_cells(polys, eff_res, world, max_cells_per_zone)
+            zr = zone_min_res(polys, res, world, max_cells_per_zone)
+            zres.append(zr)
+            seen = zone_cover_cells(polys, zr, world, max_cells_per_zone)
             for c, full in seen.items():
                 cell_list.append(c)
                 zone_list.append(ordinal)
@@ -129,8 +149,9 @@ class ZoneIndex:
         full_arr = np.asarray(full_list, dtype=bool)[order]
         uniq, start = np.unique(cell_arr, return_index=True)
         offsets = np.append(start, len(cell_arr)).astype(np.int64)
+        zone_res = np.asarray(zres, dtype=np.int64)
         return ZoneIndex(
-            res=eff_res,
+            res=int(zone_res.min()) if len(zone_res) else res,
             world=world,
             cells=uniq,
             offsets=offsets,
@@ -138,31 +159,54 @@ class ZoneIndex:
             cand_full=full_arr,
             zone_ids=zone_ids,
             zone_rings=zone_rings,
+            res_list=np.unique(zone_res) if len(zone_res) else np.array([res], dtype=np.int64),
+            zone_res=zone_res,
         )
 
     # -- probes ------------------------------------------------------------
 
-    def candidates_for_points(self, x: np.ndarray, y: np.ndarray):
-        """Fully vectorized: point arrays → (point_idx, zone_ordinal,
-        needs_exact) candidate triples as flat arrays (no Python loop —
-        CSR range expansion via the repeat/cumsum trick)."""
-        pc = ci.cell_at(x, y, self.res, self.world)
-        if len(self.cells) == 0:
-            empty = np.empty(0, dtype=np.int64)
-            return empty, empty.astype(np.int32), empty.astype(bool)
-        pos = np.clip(np.searchsorted(self.cells, pc), 0, len(self.cells) - 1)
-        valid = self.cells[pos] == pc
+    def _expand(self, keys: np.ndarray):
+        """Exact-match CSR lookup: keys (cell ids) → (key_idx, flat
+        candidate positions) via the repeat/cumsum trick — the shared
+        core of every probe (no Python loop)."""
+        empty = np.empty(0, dtype=np.int64)
+        if len(self.cells) == 0 or len(keys) == 0:
+            return empty, empty
+        pos = np.clip(np.searchsorted(self.cells, keys), 0, len(self.cells) - 1)
+        valid = self.cells[pos] == keys
         idx = np.nonzero(valid)[0]
         starts = self.offsets[pos[idx]]
         counts = self.offsets[pos[idx] + 1] - starts
         total = int(counts.sum())
         if total == 0:
-            empty = np.empty(0, dtype=np.int64)
-            return empty, empty.astype(np.int32), empty.astype(bool)
-        pts = np.repeat(idx, counts)
+            return empty, empty
+        out_i = np.repeat(idx, counts)
         offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
         flat = np.arange(total, dtype=np.int64) + np.repeat(starts - offs, counts)
-        return pts, self.cand_zone[flat], ~self.cand_full[flat]
+        return out_i, flat
+
+    def candidates_for_points(self, x: np.ndarray, y: np.ndarray):
+        """Fully vectorized: point arrays → (point_idx, zone_ordinal,
+        needs_exact) candidate triples as flat arrays.  The point cell is
+        computed at each occupied resolution and the lookups union —
+        each zone is indexed at exactly one resolution, so the union is
+        duplicate-free by construction."""
+        pts_parts, zone_parts, need_parts = [], [], []
+        for rr in self.res_list:
+            pc = ci.cell_at(x, y, int(rr), self.world)
+            pts, flat = self._expand(np.asarray(pc, dtype=np.int64))
+            if len(pts):
+                pts_parts.append(pts)
+                zone_parts.append(self.cand_zone[flat])
+                need_parts.append(~self.cand_full[flat])
+        if not pts_parts:
+            empty = np.empty(0, dtype=np.int64)
+            return empty, empty.astype(np.int32), empty.astype(bool)
+        return (
+            np.concatenate(pts_parts),
+            np.concatenate(zone_parts),
+            np.concatenate(need_parts),
+        )
 
     def assign_points(self, x: np.ndarray, y: np.ndarray):
         """Point-in-polygon assignment (possibly multiple zones per point).
@@ -186,24 +230,38 @@ class ZoneIndex:
         return pts[keep], zones[keep]
 
     def candidates_for_cells(self, cells: np.ndarray):
-        """cells (already at self.res) → (cell_pos_idx, zone_ordinal, full)
-        — same vectorized CSR expansion as candidates_for_points."""
-        if len(self.cells) == 0 or len(cells) == 0:
+        """cells (exact ids, resolution in the high bits) → (cell_pos_idx,
+        zone_ordinal, full) — matches only zones indexed at the cells'
+        own resolution (exact-id lookup); callers probing a
+        mixed-resolution index should loop ``res_list`` or use
+        :meth:`candidates_for_bbox`."""
+        out_i, flat = self._expand(np.asarray(cells, dtype=np.int64))
+        if len(out_i) == 0:
             empty = np.empty(0, dtype=np.int64)
             return empty, empty.astype(np.int32), empty.astype(bool)
-        pos = np.clip(np.searchsorted(self.cells, cells), 0, len(self.cells) - 1)
-        valid = self.cells[pos] == cells
-        idx = np.nonzero(valid)[0]
-        starts = self.offsets[pos[idx]]
-        counts = self.offsets[pos[idx] + 1] - starts
-        total = int(counts.sum())
-        if total == 0:
-            empty = np.empty(0, dtype=np.int64)
-            return empty, empty.astype(np.int32), empty.astype(bool)
-        out_i = np.repeat(idx, counts)
-        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        flat = np.arange(total, dtype=np.int64) + np.repeat(starts - offs, counts)
         return out_i, self.cand_zone[flat], self.cand_full[flat]
+
+    def candidates_for_bbox(self, x0, y0, x1, y1, max_cells: int = 1 << 20):
+        """Geometry-bbox probe: the bbox cover is computed at EACH
+        occupied resolution and looked up; returns flat (zone_ordinal,
+        full, n_cells) candidate entries where ``n_cells`` is the size of
+        the bbox cover at the matched zone's resolution — the
+        denominator of the containment fast-path test (``all entries of
+        a zone full AND hit count == n_cells``).  All entries of one
+        zone share one resolution, hence one n_cells."""
+        zs, fl, ns = [], [], []
+        for rr in self.res_list:
+            cover = np.sort(ci.cover_bbox(x0, y0, x1, y1, int(rr), self.world,
+                                          max_cells=max_cells))
+            _, zcand, full = self.candidates_for_cells(cover)
+            if len(zcand):
+                zs.append(zcand)
+                fl.append(full)
+                ns.append(np.full(len(zcand), len(cover), dtype=np.int64))
+        if not zs:
+            empty = np.empty(0, dtype=np.int64)
+            return empty.astype(np.int32), empty.astype(bool), empty
+        return np.concatenate(zs), np.concatenate(fl), np.concatenate(ns)
 
 
     def assign_points_nearest(self, x: np.ndarray, y: np.ndarray,
@@ -243,8 +301,6 @@ class ZoneIndex:
             return out_zone, out_dist
 
         x0, y0, x1, y1 = self.world
-        n = 1 << self.res
-        cell_min = min((x1 - x0) / n, (y1 - y0) / n)
 
         def zone_dist(px, py, ordinal):
             best = np.inf
@@ -257,29 +313,47 @@ class ZoneIndex:
                     best = min(best, float(np.min(d)))
             return best
 
-        n_zones = len(self.zone_ids)
+        # mixed-resolution index: each occupied resolution is searched
+        # with ITS OWN ring loop and (r-1)*cell_min stop bound (the bound
+        # argument only holds per resolution: a zone indexed at res ρ
+        # with no cover cell inside ring r has its boundary ≥
+        # (r-1)·cell_min(ρ) away).  Per-resolution bests combine by
+        # (distance, ordinal) — same global tie-break as before.
+        zones_per_res = {
+            int(rr): int((self.zone_res == rr).sum()) for rr in self.res_list
+        }
         for i in todo:
-            pc = ci.cell_at(x[i], y[i], self.res, self.world)
-            seen: set = set()
             best_z, best_d = -1, np.inf
-            for r in range(0, max_ring + 1):
-                # incremental shell, not the full disk re-probed per round
-                cells = ci.ring_only(pc, r)
-                _pos, zcand, _full = self.candidates_for_cells(
-                    np.unique(cells)
-                )
-                fresh = [z for z in np.unique(zcand) if z not in seen]
-                for z in fresh:
-                    seen.add(int(z))
-                    d = zone_dist(x[i], y[i], int(z))
-                    if d < best_d or (d == best_d and z < best_z):
-                        best_z, best_d = int(z), d
-                if len(seen) == n_zones:
-                    break  # every zone scored exactly — nothing left
-                # stop once no unseen zone can beat the best: zones with
-                # no cover cell within ring r are >= (r-1)*cell_min away
-                if best_z >= 0 and best_d <= max(r - 1, 0) * cell_min:
-                    break
+            for rr in self.res_list:
+                rr = int(rr)
+                n = 1 << rr
+                cell_min = min((x1 - x0) / n, (y1 - y0) / n)
+                pc = ci.cell_at(x[i], y[i], rr, self.world)
+                seen: set = set()
+                sub_z, sub_d = -1, np.inf
+                for r in range(0, max_ring + 1):
+                    # incremental shell, not the full disk re-probed
+                    cells = ci.ring_only(pc, r)
+                    _pos, zcand, _full = self.candidates_for_cells(
+                        np.unique(cells)
+                    )
+                    fresh = [z for z in np.unique(zcand) if z not in seen]
+                    for z in fresh:
+                        seen.add(int(z))
+                        d = zone_dist(x[i], y[i], int(z))
+                        if d < sub_d or (d == sub_d and z < sub_z):
+                            sub_z, sub_d = int(z), d
+                    if len(seen) == zones_per_res[rr]:
+                        break  # every zone at this res scored exactly
+                    # stop once no unseen zone at this res can beat the
+                    # best: zones with no cover cell within ring r are
+                    # >= (r-1)*cell_min away
+                    if sub_z >= 0 and sub_d <= max(r - 1, 0) * cell_min:
+                        break
+                if sub_z >= 0 and (
+                    sub_d < best_d or (sub_d == best_d and sub_z < best_z)
+                ):
+                    best_z, best_d = sub_z, sub_d
             out_zone[i] = best_z
             out_dist[i] = best_d if np.isfinite(best_d) else 0.0
         return out_zone, out_dist
