@@ -103,8 +103,12 @@ def compact_cells(df, cell_col: str = "cell", min_res: int = 0):
             par.join(full, "par", "left_anti").select("cell")
             .localCheckpoint(eager=False)
         )
+        # distinct: input holding a cell TOGETHER WITH its own
+        # descendants would duplicate the promoted parent here (rest ∪
+        # full), letting a later level count 4 rows with <4 distinct
+        # siblings and falsely promote
         cur = rest.unionByName(full.select(F.col("par").alias("cell"))) \
-            .localCheckpoint(eager=False)
+            .distinct().localCheckpoint(eager=False)
     out = cur
     for k in kept:
         out = out.unionByName(k)

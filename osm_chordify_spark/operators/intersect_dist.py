@@ -320,10 +320,10 @@ def _append_void_rows_dist(result, e, zindexed, zone_fields, zone_renames,
     """Void rows, all-DataFrame: bbox-kept zones minus matched zones via
     left-anti join on the frozen zone id — no collects of zone attrs, no
     attr-tuple conflation (reference intersect.py:347-382 + :847-859).
-    ``result`` is persisted because its plan is consumed twice (matched
-    probe + union)."""
-    from pyspark import StorageLevel
-
+    ``result`` is materialized once (eager localCheckpoint — the same
+    discipline as the broadcast path's ``_append_void_rows``) because
+    its plan is consumed twice (matched probe + union); checkpoint
+    blocks release with the DataFrame, unlike an unpaired persist()."""
     bb = (
         e.select("geometry")
         .mapInPandas(_edge_bbox_batches, schema="x0 double, y0 double, x1 double, y1 double")
@@ -347,7 +347,7 @@ def _append_void_rows_dist(result, e, zindexed, zone_fields, zone_renames,
         zone_kept, schema="__zid long"
     ).join(zindexed.drop("__zgeom"), "__zid")
 
-    result = result.persist(StorageLevel.MEMORY_AND_DISK)
+    result = result.localCheckpoint(eager=True)
     matched = result.select("__zid").distinct()
     zcols = {zone_renames[zf.name] for zf in zone_fields}
     void = kept.join(matched, "__zid", "left_anti").select(

@@ -261,6 +261,14 @@ def read_geotiff(spark: SparkSession, path: str, drop_empty: bool = True):
     T = meta["tile_w"]
     if meta["tile_h"] != T:
         raise ValueError("non-square tiles unsupported")
+    if meta["width"] % T or meta["height"] % T:
+        # TIFF permits partial edge tiles (tile count is ceil-based);
+        # this reader's tile grid is floor-based, so such a file would
+        # be silently misindexed — refuse loudly instead
+        raise ValueError(
+            f"unsupported: image dims {meta['width']}x{meta['height']} are "
+            f"not a multiple of the tile size {T} (partial edge tiles)"
+        )
     dx, dy = meta["scale"][0], meta["scale"][1]
     tlx, tly = meta["tiepoint"][3], meta["tiepoint"][4]
     ntx = meta["width"] // T

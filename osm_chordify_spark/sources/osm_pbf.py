@@ -332,8 +332,18 @@ def save_graph_pbf(
     # else assign a deterministic dense rank.  Ranking is done over the
     # DISTINCT ids only — a total order is inherently global, but the
     # single-partition window then holds one row per way, not per edge.
-    sample = eframe.select(way_id_col).first()
-    numeric_ids = sample is not None and str(sample[0]).lstrip("-").isdigit()
+    # The fast path is gated on the WHOLE column, not a sample: every id
+    # must cast cleanly AND distinct ids must stay distinct after the
+    # cast ('7' vs '07' would otherwise silently collide into one way).
+    chk = eframe.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col(way_id_col).try_cast("long")).alias("n_num"),
+        F.countDistinct(F.col(way_id_col)).alias("d_raw"),
+        F.countDistinct(F.col(way_id_col).try_cast("long")).alias("d_num"),
+    ).first()
+    numeric_ids = (
+        chk.n > 0 and chk.n_num == chk.n and chk.d_raw == chk.d_num
+    )
     if not numeric_ids:
         from pyspark.sql import Window
 

@@ -6,9 +6,10 @@ so this module provides the same OPERATIONAL contract over plain
 parquet + JSON manifests (and nothing else):
 
 * every write is a SNAPSHOT: data files land under ``data/<uuid>/``,
-  then a manifest ``v{N}.json`` is committed ATOMICALLY
-  (write-temp + os.rename) recording the file list, schema, row count,
-  per-partition row counters, parent version and operation;
+  then a manifest ``v{N}.json`` is committed ATOMICALLY with an
+  EXCLUSIVE create (write-temp + os.link; EEXIST → reassemble against
+  the new latest and retry) recording the file list, schema, row
+  count, per-partition row counters, parent version and operation;
 * readers resolve ``current`` → latest committed manifest and read
   exactly its file list — a torn/killed writer leaves data files but no
   manifest, so readers never see partial output (the resume story:
@@ -87,35 +88,47 @@ def write_snapshot(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
-    parent = latest_version(table_dir)
-    files = list(new_files)
-    prev_rows = 0
-    if mode == "append" and parent is not None:
-        prev = load_manifest(table_dir, parent)
-        files = prev["files"] + files
-        prev_rows = prev["row_count"]
-    version = 0 if parent is None else parent + 1
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "operation": mode,
-        "snapshot_id": snap_id,
-        "files": files,
-        "schema": written.schema.simpleString(),
-        "row_count": prev_rows + int(sum(r["count"] for r in per_part)),
-        "snapshot_rows": int(sum(r["count"] for r in per_part)),
-        "partition_counts": {str(r["p"]): int(r["count"]) for r in per_part},
-        "write_sec": round(time.perf_counter() - t0, 3),
-        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        # caller-supplied commit properties (e.g. the streaming sink's
-        # batch_id for replay idempotence)
-        "props": dict(props or {}),
-    }
-    tmp = _manifest_path(table_dir, version) + f".tmp.{snap_id}"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=2, sort_keys=True)
-    os.rename(tmp, _manifest_path(table_dir, version))
-    return manifest
+    # optimistic-concurrency commit: the manifest is assembled against
+    # the CURRENT latest version and committed with an EXCLUSIVE create
+    # (os.link of the temp file — fails with EEXIST instead of silently
+    # overwriting, unlike os.rename).  Losing a race to another writer
+    # re-reads the new latest and re-assembles (the data files are
+    # uuid-named, only the manifest math redoes), so concurrent appends
+    # serialize instead of one snapshot's rows silently vanishing.
+    while True:
+        parent = latest_version(table_dir)
+        files = list(new_files)
+        prev_rows = 0
+        if mode == "append" and parent is not None:
+            prev = load_manifest(table_dir, parent)
+            files = prev["files"] + files
+            prev_rows = prev["row_count"]
+        version = 0 if parent is None else parent + 1
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "operation": mode,
+            "snapshot_id": snap_id,
+            "files": files,
+            "schema": written.schema.simpleString(),
+            "row_count": prev_rows + int(sum(r["count"] for r in per_part)),
+            "snapshot_rows": int(sum(r["count"] for r in per_part)),
+            "partition_counts": {str(r["p"]): int(r["count"]) for r in per_part},
+            "write_sec": round(time.perf_counter() - t0, 3),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            # caller-supplied commit properties (e.g. the streaming sink's
+            # batch_id for replay idempotence)
+            "props": dict(props or {}),
+        }
+        tmp = _manifest_path(table_dir, version) + f".tmp.{snap_id}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=2, sort_keys=True)
+        try:
+            os.link(tmp, _manifest_path(table_dir, version))
+            os.remove(tmp)
+            return manifest
+        except FileExistsError:
+            os.remove(tmp)  # lost the race — retry against the new latest
 
 
 def read_snapshot(

@@ -118,3 +118,23 @@ def test_compact_uncompact_cells(spark):
     up = uncompact_cells(mixed, 3).toPandas()
     assert len(up) == 4  # root -> 4 children; lone (res 4) dropped
     assert (np.array([c >> 58 for c in up["cell"]]) == 3).all()
+
+
+def test_compact_cells_ancestor_overlap_no_false_promote(spark):
+    """Input containing a cell TOGETHER WITH its own descendants must
+    not duplicate the promoted parent: before the per-level distinct, a
+    later level could count 4 rows over only 3 distinct siblings and
+    falsely promote (ADVICE r3)."""
+    import pandas as pd
+
+    from osm_chordify_spark.functions.cells import compact_cells
+
+    P = int(ci.make_cell(3, np.int64(2), np.int64(2)))
+    kids = [int(c) for c in ci.children(np.int64(P))]
+    sib1 = int(ci.make_cell(3, np.int64(3), np.int64(2)))
+    sib2 = int(ci.make_cell(3, np.int64(2), np.int64(3)))
+    # P's children promote to P, which ALSO appears verbatim -> with the
+    # duplicate, {P, P, sib1, sib2} counts 4 rows under the res-2 parent
+    df = spark.createDataFrame(pd.DataFrame({"cell": kids + [P, sib1, sib2]}))
+    got = sorted(r.cell for r in compact_cells(df, min_res=0).collect())
+    assert got == sorted([P, sib1, sib2])  # no res-2 promotion, no dups

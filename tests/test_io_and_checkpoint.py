@@ -191,3 +191,37 @@ def test_raster_job_end_to_end_and_resume(spark, tmp_path):
     r2 = subprocess.run(cmd2, capture_output=True, text=True, env=env, timeout=420)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert os.path.getmtime(os.path.join(ckpt, "smoothed.parquet")) == t0
+
+
+def test_snapshot_commit_exclusive_create_retries(spark, tmp_path, monkeypatch):
+    """Two writers racing to commit the same version: the loser's
+    os.link hits EEXIST and the commit reassembles against the winner's
+    manifest instead of silently overwriting it (ADVICE r3).  Simulated
+    by making the writer's first latest_version() read stale."""
+    import pandas as pd
+
+    from osm_chordify_spark.sources import snapshot_table as ST
+
+    tdir = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(pd.DataFrame({"a": [1, 2, 3]}))
+    m0 = ST.write_snapshot(df1, tdir, mode="overwrite")
+    assert m0["version"] == 0
+
+    real = ST.latest_version
+    calls = {"n": 0}
+
+    def stale_once(table_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None  # stale read: another writer committed v0 meanwhile
+        return real(table_dir)
+
+    monkeypatch.setattr(ST, "latest_version", stale_once)
+    df2 = spark.createDataFrame(pd.DataFrame({"a": [4, 5]}))
+    m1 = ST.write_snapshot(df2, tdir, mode="append")
+    assert calls["n"] >= 2                      # the retry actually happened
+    assert m1["version"] == 1                   # v0 survived, commit went to v1
+    assert m1["parent"] == 0
+    assert m1["row_count"] == 5                 # append lineage reassembled
+    assert ST.load_manifest(tdir, 0)["snapshot_id"] == m0["snapshot_id"]
+    assert ST.read_snapshot(spark, tdir).count() == 5

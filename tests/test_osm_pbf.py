@@ -115,3 +115,27 @@ def test_pbf_non_numeric_way_ids_and_scale(spark, tmp_path):
     assert sorted(ways["id"]) == list(range(1, 101))  # dense rank ids
     total_refs = sum(len(x) for x in ways["nodes"])
     assert total_refs == (n - 1) + 100  # 50 edges -> 51 refs per chain
+
+
+def test_pbf_cast_colliding_way_ids_fall_back_to_rank(spark):
+    """Way ids that are all digit-like but collide under a long cast
+    ('7' vs '07') must take the dense-rank path — the single-row sample
+    gate would have emitted two ways with the SAME PBF id (ADVICE r3)."""
+    nodes = spark.createDataFrame(
+        pd.DataFrame({
+            "node_id": [0, 1, 2, 3],
+            "x": [-120.0, -119.9, -119.8, -119.7],
+            "y": [35.0, 35.1, 35.2, 35.3],
+        })
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame({
+            "u": [0, 2], "v": [1, 3],
+            "edge_id": ["7", "07"],
+            "highway": ["residential", "service"],
+        })
+    )
+    path = "/tmp/collide.osm.pbf"
+    B.save_graph_pbf(nodes, edges, path)
+    ways = B.read_osm_pbf(spark, path).filter(F.col("type") == "way").toPandas()
+    assert sorted(ways["id"]) == [1, 2]  # two DISTINCT ways, rank ids

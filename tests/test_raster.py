@@ -595,3 +595,19 @@ def test_bigtiff_roundtrip(spark, tmp_path):
     pb = raster_cells(b, bg).toPandas().sort_values(
         ["cell_x", "cell_y"], ignore_index=True)
     pd.testing.assert_frame_equal(pa, pb)
+
+
+def test_geotiff_partial_edge_tiles_rejected(spark, monkeypatch):
+    """A spec-valid TIFF whose dims are not a tile multiple (partial
+    edge tiles, ceil-based tile count) must be refused loudly instead
+    of silently misindexed by the floor-based grid (ADVICE r3)."""
+    from osm_chordify_spark.sources import geotiff as GT
+
+    meta = {
+        "width": 17, "height": 32, "tile_w": 16, "tile_h": 16,
+        "offsets": [8], "counts": [2048],
+        "scale": [1.0, 1.0, 0.0], "tiepoint": [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    }
+    monkeypatch.setattr(GT, "_parse_ifd", lambda path: meta)
+    with pytest.raises(ValueError, match="not a multiple of the tile size"):
+        GT.read_geotiff(spark, "/nonexistent.tif")
