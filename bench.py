@@ -153,6 +153,7 @@ def run_relational(spark: SparkSession, sf_dir: str) -> dict:
         "pages_zone_pip",
         "zone_intersect_lines",
         "zone_intersect_lines_dist",
+        "zone_intersect_100k_zones_dist",
         "chordify_contraction",
         "knn_segment_match",
         "minhash_lsh_dedup",
@@ -165,6 +166,7 @@ def run_relational(spark: SparkSession, sf_dir: str) -> dict:
     heavy = {
         "zone_intersect_lines",
         "zone_intersect_lines_dist",
+        "zone_intersect_100k_zones_dist",
         "chordify_contraction",
         "knn_segment_match",
         "minhash_lsh_dedup",

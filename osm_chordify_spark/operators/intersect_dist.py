@@ -20,9 +20,11 @@ intersect.py:586-884) as a pure DataFrame program:
 4. zone geometry and edge geometry re-attach to the candidate set by
    key, and the exact clip kernel (``intersect._exact_clip_edges_vs_zone``
    — the SAME function the broadcast path runs) executes per
-   (zone, salt-bucket) group via ``graph._grouped_map``; salting splits
-   hot zones (dense urban polygons) across tasks, which is semantically
-   free because every (edge, zone) pair is independent.
+   (zone-bucket, salt-bucket) group via ``graph._grouped_map``: zone
+   buckets pack many tiny zones into one Arrow group (the kernel
+   regroups by zone in pandas), salting splits hot zones (dense urban
+   polygons) across tasks — both semantically free because every
+   (edge, zone) pair is independent.
 
 Output is row-for-row and value-identical to
 ``intersect.intersect_lines_with_zones`` (schema from the same
@@ -73,6 +75,34 @@ def zones_to_df(spark, zones: Zones, geometry_col: str = "geometry") -> DataFram
         for polys in zones.geoms
     ]
     return spark.createDataFrame(pdf)
+
+
+def _group_key(zone_buckets: int, salt_buckets: int):
+    """Grouped-kernel key: (hash(zone) % zone_buckets, hash(edge) %
+    salt_buckets).  Zone-bucketing packs MANY zones into one Arrow
+    group (the kernels regroup by ``__zid`` in pandas — sub-µs per
+    group — so semantics are untouched): at 10⁵⁻⁶ tiny zones,
+    per-group Arrow overhead would otherwise dominate the job (102k
+    single-zone groups measured ~2× slower than 1024 multi-zone
+    buckets on the 100k-zone bench).  At ≤~1000 zones the bucket count
+    exceeds the zone count and this degenerates to the old per-zone
+    grouping.  Salt still subdivides hot zones by edge hash."""
+    return F.concat_ws(
+        "#",
+        F.pmod(F.xxhash64("__zid"), F.lit(zone_buckets)).cast("string"),
+        F.pmod(F.xxhash64("__eid"), F.lit(salt_buckets)).cast("string"),
+    )
+
+
+def _per_zone(kern_zone):
+    """Wrap a one-zone pandas kernel into a multi-zone-group kernel:
+    iterate ``groupby('__zid')`` subframes and concat.  Each subframe
+    keeps the single-zone invariant (``__zgeom.iloc[0]`` is THE zone)."""
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = [kern_zone(g) for _, g in pdf.groupby("__zid", sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    return kern
 
 
 def _zone_res_list(zcells: DataFrame, cell_col: str = "cell") -> list[int]:
@@ -219,6 +249,7 @@ def intersect_lines_with_zones_dist(
     world=ci.WORLD,
     max_cells_per_zone: int = 4096,
     salt_buckets: int = 8,
+    zone_buckets: int = 1024,
 ) -> DataFrame:
     """Exact line∩polygon join with proportional length metrics over a
     DataFrame zone table — same contract as
@@ -244,14 +275,7 @@ def intersect_lines_with_zones_dist(
     work = (
         cand.join(zindexed, "__zid")
         .join(epay, "__eid")
-        .withColumn(
-            "__gk",
-            F.concat_ws(
-                "#",
-                F.col("__zid").cast("string"),
-                F.pmod(F.xxhash64("__eid"), F.lit(salt_buckets)).cast("string"),
-            ),
-        )
+        .withColumn("__gk", _group_key(zone_buckets, salt_buckets))
     )
 
     mp, me, mz = (metric_names["proportion"], metric_names["edge_length"],
@@ -261,7 +285,7 @@ def intersect_lines_with_zones_dist(
         zone_renames[zf.name] for zf in zone_fields
     ]
 
-    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kern_zone(pdf: pd.DataFrame) -> pd.DataFrame:
         zpolys = G.geometry_polygons(bytes(pdf["__zgeom"].iloc[0]))
         lines = [G.geometry_lines(bytes(g)) for g in pdf["__egeom"]]
         contained = pdf["__contained"].to_numpy()
@@ -306,7 +330,7 @@ def intersect_lines_with_zones_dist(
 
     from osm_chordify_spark.operators.graph import _grouped_map
 
-    result = _grouped_map(work, "__gk", kern, kern_schema)
+    result = _grouped_map(work, "__gk", _per_zone(kern_zone), kern_schema)
 
     if include_void_zones:
         result = _append_void_rows_dist(
@@ -381,6 +405,7 @@ def spatial_left_join_with_zones_dist(
     world=ci.WORLD,
     max_cells_per_zone: int = 4096,
     salt_buckets: int = 8,
+    zone_buckets: int = 1024,
 ) -> DataFrame:
     """Distributed left spatial join — same contract as
     ``intersect.spatial_left_join_with_zones`` (every input row kept; k
@@ -410,14 +435,7 @@ def spatial_left_join_with_zones_dist(
         .select("__eid", "__zid")
         .join(zindexed.select("__zid", "__zgeom"), "__zid")
         .join(epay.select("__eid", "__egeom"), "__eid")
-        .withColumn(
-            "__gk",
-            F.concat_ws(
-                "#",
-                F.col("__zid").cast("string"),
-                F.pmod(F.xxhash64("__eid"), F.lit(salt_buckets)).cast("string"),
-            ),
-        )
+        .withColumn("__gk", _group_key(zone_buckets, salt_buckets))
     )
 
     def touch_kern(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -445,7 +463,9 @@ def spatial_left_join_with_zones_dist(
 
     from osm_chordify_spark.operators.graph import _grouped_map
 
-    touched = _grouped_map(pend, "__gk", touch_kern, "__eid long, __zid long")
+    touched = _grouped_map(
+        pend, "__gk", _per_zone(touch_kern), "__eid long, __zid long"
+    )
     hits = (
         cand.filter(F.col("__contained")).select("__eid", "__zid")
         .unionByName(touched)
@@ -467,6 +487,7 @@ def intersect_polygons_with_zones_dist(
     world=ci.WORLD,
     max_cells_per_zone: int = 4096,
     salt_buckets: int = 8,
+    zone_buckets: int = 1024,
 ) -> DataFrame:
     """Distributed polygon-subject variant — same contract as
     ``intersect.intersect_polygons_with_zones`` (area-based proportions,
@@ -505,14 +526,7 @@ def intersect_polygons_with_zones_dist(
     work = (
         cand.join(zindexed, "__zid")
         .join(epay, "__eid")
-        .withColumn(
-            "__gk",
-            F.concat_ws(
-                "#",
-                F.col("__zid").cast("string"),
-                F.pmod(F.xxhash64("__eid"), F.lit(salt_buckets)).cast("string"),
-            ),
-        )
+        .withColumn("__gk", _group_key(zone_buckets, salt_buckets))
     )
     out_names = [f.name for f in schema.fields]
     attr_names = [edge_renames[c] for c in edge_attr_cols] + [
@@ -520,7 +534,7 @@ def intersect_polygons_with_zones_dist(
     ]
     len_attr = edge_renames.get(length_col) if length_col else None
 
-    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kern_zone(pdf: pd.DataFrame) -> pd.DataFrame:
         zpolys = G.geometry_polygons(bytes(pdf["__zgeom"].iloc[0]))
         contained = pdf["__contained"].to_numpy()
         areas = pdf["__elen"].to_numpy()  # rounded subject areas
@@ -572,7 +586,7 @@ def intersect_polygons_with_zones_dist(
 
     from osm_chordify_spark.operators.graph import _grouped_map
 
-    return _grouped_map(work, "__gk", kern, schema)
+    return _grouped_map(work, "__gk", _per_zone(kern_zone), schema)
 
 
 def nearest_zone_dist(
@@ -587,6 +601,7 @@ def nearest_zone_dist(
     world=ci.WORLD,
     max_cells_per_zone: int = 4096,
     salt_buckets: int = 8,
+    zone_buckets: int = 1024,
 ) -> DataFrame:
     """Nearest-zone assignment over a DataFrame zone table too large to
     broadcast — the distributed complement of
@@ -701,13 +716,15 @@ def nearest_zone_dist(
                 .withColumn(
                     "__gk",
                     F.concat_ws(
-                        "#", F.col("__zid"),
+                        "#",
+                        F.pmod(F.xxhash64("__zid"), F.lit(zone_buckets)),
                         F.pmod(F.xxhash64("__pid"), F.lit(salt_buckets)),
                     ),
                 )
             )
             scored = _grouped_map(
-                cand, "__gk", score, "__pid long, __zid long, __dist double"
+                cand, "__gk", _per_zone(score),
+                "__pid long, __zid long, __dist double",
             )
             allc = scored if best is None else scored.unionByName(best)
             # tie-break on the USER-VISIBLE zone id (lexicographic), not

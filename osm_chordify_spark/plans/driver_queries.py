@@ -413,6 +413,99 @@ def zone_intersect_lines_dist(spark, sf_dir):
 
 
 @register(
+    "zone_intersect_100k_zones_dist",
+    oracle="""
+with edges as (
+  select p_partkey as osm_id,
+         ((p_partkey * 7) % 60) / 1e1 + 1e-3 as xs,
+         ((p_partkey * 7) % 60) / 1e1 + 1e-3 + 4e0 as xe,
+         ((p_partkey * 13) % 95) / 1e1 + 25e-2 + 15625e-6 as y
+  from part
+), cols as (
+  select i from generate_series(0, 319) t(i)
+), pairs as (
+  select e.osm_id,
+         'G' || c.i || '_' || cast(floor(e.y * 32e0) as int) as zone_zone_id,
+         greatest(0e0, least(e.xe, (c.i + 1) * 3125e-5)
+                  - greatest(e.xs, c.i * 3125e-5)) as ov
+  from edges e, cols c
+)
+select osm_id as edge_osm_id, zone_zone_id,
+       cast(round(ov, 2) as double) as zone_link_length_m,
+       cast(4e0 as double) as edge_link_length_m,
+       cast(round(round(ov, 2) / 4e0, 4) as double) as zone_edge_proportion
+from pairs where round(ov, 2) > 0
+""",
+)
+def zone_intersect_100k_zones_dist(spark, sf_dir):
+    """The distributed zone path at LAKE-SCALE zone count: 102,400
+    (320x320) grid zones, synthesized DISTRIBUTED (spark.range spine +
+    Arrow rect builder — no driver-side zone materialization anywhere),
+    through the same cell equi-join + exact clip kernel.  This is the
+    regime the broadcast index cannot reach: ZoneIndex.build is a
+    serial driver loop (~66 s for these 102k zones, linear in zones,
+    plus a pickle broadcast that scales with total ring vertices) while
+    this path builds zone covers inside mapInPandas at full executor
+    parallelism.  salt_buckets=1: candidate fan-in per zone is tiny
+    (~25 pairs), so hot-zone salting would only multiply Arrow group
+    count; index_res=12 sizes cells (~0.09 deg) to the 0.03125-unit
+    zones.  Float-parity design: zone width 2^-5 keeps zone boundaries
+    binary-exact, the +2^-6 y offset keeps edges off row boundaries,
+    and the +1e-3 x offset keeps every partial-overlap value >=2.5e-4
+    away from a 2-dp rounding tie (kernel clip arithmetic and oracle
+    subtraction can differ by 1 ulp, which flips ties like 0.025);
+    sub-0.005 slivers round to 0.00 and are dropped identically by the
+    kernel (rounded-length<=0 skip) and the oracle's round(ov,2)>0."""
+    from osm_chordify_spark.operators import intersect_dist as _ID
+
+    NG, W = 320, 0.03125
+    zsp = spark.range(0, NG * NG, 1, 32).select(
+        (F.col("id") % NG).alias("i"),
+        ((F.col("id") - F.col("id") % NG) / NG).cast("long").alias("j"),
+    )
+
+    @F.pandas_udf("binary")
+    def mk_rect(i: pd.Series, j: pd.Series) -> pd.Series:
+        out = []
+        for ii, jj in zip(i, j):
+            x0, y0 = ii * W, jj * W
+            out.append(_G.wkb_polygon(
+                [[[x0, y0], [x0 + W, y0], [x0 + W, y0 + W], [x0, y0 + W]]]
+            ))
+        return pd.Series(out)
+
+    zdf = zsp.select(
+        F.concat(F.lit("G"), F.col("i"), F.lit("_"), F.col("j")).alias("zone_id"),
+        mk_rect("i", "j").alias("geometry"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("osm_id"),
+        F.expr("((p_partkey * 7) % 60) / 1e1 + 1e-3").alias("xs"),
+        F.expr("((p_partkey * 13) % 95) / 1e1 + 25e-2 + 15625e-6").alias("y"),
+    )
+
+    @F.pandas_udf("binary")
+    def mk_line(xs: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_G.wkb_linestring([[x, yy], [x + 4.0, yy]]) for x, yy in zip(xs, y)]
+        )
+
+    edges = part.select(
+        "osm_id", F.lit(4.0).alias("edge_length"), mk_line("xs", "y").alias("geometry")
+    )
+    out = _ID.intersect_lines_with_zones_dist(
+        edges, zdf, keep_geometry=False, index_res=12, salt_buckets=1
+    )
+    return out.select(
+        "edge_osm_id",
+        "zone_zone_id",
+        "zone_link_length_m",
+        "edge_link_length_m",
+        "zone_edge_proportion",
+    )
+
+
+@register(
     "zone_intersect_polygons",
     oracle="""
 with subj as (
