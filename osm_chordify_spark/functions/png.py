@@ -1,0 +1,213 @@
+"""From-scratch PNG codec — stdlib zlib + NumPy, no imaging libraries.
+
+Supports the PNG subset a training-data media pipeline actually meets
+in bulk crawls: 8-bit greyscale / grey+alpha / RGB / RGBA (color types
+0, 4, 2, 6), non-interlaced, single IHDR + concatenated IDAT streams.
+Everything else (palette, 16-bit, Adam7 interlace) raises a clear
+``ValueError`` — the operator layer treats that as "undecodable row",
+never silent garbage.
+
+Decode correctness is pinned in tests against an INDEPENDENT oracle:
+``tests/fixtures/sample_rgba.png`` + ``sample_rgba_pixels.npy``, where
+the expected pixel array was produced by ``javax.imageio`` (the JDK's
+decoder) — not by this module — so encoder/decoder circularity can't
+hide a filter bug.  The encoder exercises every scanline filter type
+(0-4) round-trip.
+
+Spark usage: these are plain bytes→ndarray kernels, called from
+Arrow-batched pandas UDFs in ``operators/multimodal.py`` — one Python
+crossing per batch, pixel math in NumPy.
+
+Reference for WHAT the media path must provide (decode → features):
+reference repo has no media pipeline; this extends the engine for the
+LLM-data workload (SURVEY.md "beyond-reference" scope).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type → samples per pixel (8-bit depth only)
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4) — scalar, used pixel-at-a-time
+    inside the sequential filters; kept branch-exact to the spec."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering: raw is the decompressed stream of
+    ``height`` rows, each 1 filter byte + ``stride`` data bytes.
+    Returns (height, stride) uint8.
+
+    Vectorization by filter type: None/Up/Average-with-no-left and Sub
+    (per-channel cumsum) are NumPy-whole-row; Average and Paeth carry a
+    left-and-up dependency so they scan x sequentially (Python loop over
+    the row) — in the Arrow-batched operators this cost is per-image,
+    amortized over the batch."""
+    raw = raw.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
+            rec = line.reshape(-1, bpp).cumsum(axis=0).reshape(-1)
+        elif ftype == 2:  # Up
+            rec = line + prev
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] & 0xFF if x >= bpp else 0
+                rec[x] = line[x] + ((left + int(prev[x])) >> 1)
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] & 0xFF if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = line[x] + _paeth(left, int(prev[x]), ul)
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype} on row {y}")
+        prev = (rec & 0xFF).astype(np.uint8)
+        out[y] = prev
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (height, width, channels) uint8 array.
+
+    Raises ValueError for non-PNG input, CRC corruption, and the
+    unsupported subset (palette color, depth != 8, interlace)."""
+    if len(data) < 8 or data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[
+            pos + 4 : pos + 8
+        ]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if color not in _CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color} (0/2/4/6 only)")
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("unsupported PNG interlace (Adam7)")
+    if width == 0 or height == 0:
+        raise ValueError("empty PNG image")
+    ch = _CHANNELS[color]
+    stride = width * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != height * (stride + 1):
+        raise ValueError(
+            f"decompressed size {raw.size} != expected {height * (stride + 1)}"
+        )
+    return _unfilter(raw, height, stride, ch).reshape(height, width, ch)
+
+
+def _filter_row(line: np.ndarray, prev: np.ndarray, bpp: int, ftype: int) -> np.ndarray:
+    """Apply scanline filter ``ftype`` to one reconstructed row (encoder
+    side) — the exact inverse of ``_unfilter``'s cases."""
+    line_i = line.astype(np.int32)
+    left = np.zeros_like(line_i)
+    left[bpp:] = line_i[:-bpp]
+    up = prev.astype(np.int32)
+    ul = np.zeros_like(up)
+    ul[bpp:] = up[:-bpp]
+    if ftype == 0:
+        out = line_i
+    elif ftype == 1:
+        out = line_i - left
+    elif ftype == 2:
+        out = line_i - up
+    elif ftype == 3:
+        out = line_i - ((left + up) >> 1)
+    elif ftype == 4:
+        pred = np.empty_like(line_i)
+        for x in range(len(line_i)):
+            pred[x] = _paeth(int(left[x]), int(up[x]), int(ul[x]))
+        out = line_i - pred
+    else:
+        raise ValueError(f"invalid filter type {ftype}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray, filter_type: int | str = "mixed") -> bytes:
+    """(H, W[, C]) uint8 → PNG bytes.  C in {1, 2, 3, 4} maps to color
+    types 0/4/2/6.  ``filter_type``: a fixed 0-4, or ``"mixed"`` which
+    cycles filters across rows (deliberate: round-trip tests then cover
+    every unfilter branch)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("expected (H, W) or (H, W, 1/2/3/4) uint8 array")
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = a.reshape(h, w * ch)
+    rows = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        ft = (y % 5) if filter_type == "mixed" else int(filter_type)
+        rows.append(ft)
+        rows.extend(_filter_row(flat[y], prev, ch, ft).tobytes())
+        prev = flat[y]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(rows), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (real pixel math, no stub): index maps
+    computed once, pure NumPy fancy indexing."""
+    a = np.asarray(arr)
+    h, w = a.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return a[ys[:, None], xs[None, :]]

@@ -12,8 +12,15 @@ Operators:
 * attach_media_metadata — parse the deterministic header of a payload
   into a typed struct (pure kernel, no stub)
 * decode_image_stub     — "decode" → (width, height, mean_byte) via a
-                          deterministic fake; real decode = NotImplemented
-* resize_image_stub     — recompute metadata for a target size
+                          deterministic fake; real_decode=True runs the
+                          REAL from-scratch PNG decoder
+                          (functions/png.py — 8-bit gray/RGB/±alpha,
+                          javax.imageio-verified); formats beyond PNG
+                          remain stubbed (null rows)
+* synthesize_png_media  — deterministic REAL PNG payloads (encoder from
+                          functions/png.py) for the real-decode path
+* resize_image          — real nearest-neighbor resize of PNG payloads
+                          (decode → index-map resize → re-encode)
 * sample_frames         — frame-offset sampling over a binary video
                           payload (real byte math, stub pixel decode)
 * media_feature_vector  — fixed-length byte-histogram feature (real
@@ -69,23 +76,62 @@ def attach_media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.withColumn("media_meta", meta(F.col(media_col)))
 
 
+def synthesize_png_media(df: DataFrame, id_col: str = "doc_id",
+                         channels: int = 3) -> DataFrame:
+    """Deterministic REAL PNG payloads (per-id seeded PCG64 pixels →
+    functions/png.py encoder, mixed scanline filters) — the real-decode
+    path's generator.  Pixel stats are re-derivable from the id with
+    NumPy alone, so decode correctness is oracle-checkable without the
+    codec (the fixture generator never imports the codec)."""
+    from osm_chordify_spark.functions import png as _png
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            rng = np.random.default_rng(int(i))
+            w, h = 16 + int(i) % 32, 16 + (int(i) * 7) % 32
+            arr = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+            out.append(_png.encode_png(arr, filter_type="mixed"))
+        return pd.Series(out)
+
+    return df.withColumn("media", make(F.col(id_col)))
+
+
 def decode_image_stub(df: DataFrame, media_col: str = "media",
                       real_decode: bool = False) -> DataFrame:
     """Decode plumbing: Arrow-batched binary → per-image stats.
 
-    STUB: with real_decode=True this raises NotImplementedError (no
-    imaging libs in this container); the default deterministic fake
-    computes mean/std over the body bytes so downstream code has real
-    columns to operate on."""
+    With ``real_decode=True`` the kernel runs the REAL from-scratch PNG
+    decoder (``functions/png.py``: stdlib zlib inflate + NumPy
+    unfilter, verified byte-for-byte against javax.imageio in tests);
+    payloads that are not decodable 8-bit PNGs yield null rows.
+    Formats beyond PNG (JPEG et al.) remain honestly STUBBED — they
+    need entropy-coding tables out of scope for this container.  The
+    default fake path computes mean/std over the IMG0 body bytes so
+    downstream code has deterministic columns to operate on."""
 
     @F.pandas_udf("width int, height int, mean_px double, std_px double")
     def decode(payload: pd.Series) -> pd.DataFrame:
-        if real_decode:
-            raise NotImplementedError(
-                "real image decode requires an imaging library absent "
-                "from this container; swap this branch for PIL/cv2"
-            )
         rows = []
+        if real_decode:
+            from osm_chordify_spark.functions import png as _png
+
+            for b in payload:
+                try:
+                    arr = _png.decode_png(bytes(b)) if b is not None else None
+                except ValueError:
+                    arr = None
+                if arr is None:
+                    rows.append((None, None, None, None))
+                else:
+                    rows.append(
+                        (arr.shape[1], arr.shape[0],
+                         float(arr.mean()), float(arr.std()))
+                    )
+            return pd.DataFrame(
+                rows, columns=["width", "height", "mean_px", "std_px"]
+            )
         for b in payload:
             if b is None or len(b) < 16:
                 rows.append((None, None, None, None))
@@ -100,6 +146,29 @@ def decode_image_stub(df: DataFrame, media_col: str = "media",
         return pd.DataFrame(rows, columns=["width", "height", "mean_px", "std_px"])
 
     return df.withColumn("decoded", decode(F.col(media_col)))
+
+
+def resize_image(df: DataFrame, out_w: int, out_h: int,
+                 media_col: str = "media") -> DataFrame:
+    """Real resize over PNG payloads: decode → nearest-neighbor index
+    map → re-encode.  Undecodable payloads pass through as null."""
+    from osm_chordify_spark.functions import png as _png
+
+    @F.pandas_udf("binary")
+    def rz(payload: pd.Series) -> pd.Series:
+        out = []
+        for b in payload:
+            try:
+                arr = _png.decode_png(bytes(b)) if b is not None else None
+            except ValueError:
+                arr = None
+            out.append(
+                None if arr is None
+                else _png.encode_png(_png.resize_nearest(arr, out_w, out_h))
+            )
+        return pd.Series(out)
+
+    return df.withColumn("media_resized", rz(F.col(media_col)))
 
 
 def media_feature_vector(df: DataFrame, media_col: str = "media",

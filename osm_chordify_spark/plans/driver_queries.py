@@ -1420,6 +1420,41 @@ def media_decode_features(spark, sf_dir):
 
 
 @register(
+    "media_png_decode",
+    # REAL codec under the correctness gate: payloads are genuine PNGs
+    # (functions/png.py encoder, mixed scanline filters) and the query
+    # runs the from-scratch decoder.  Expected stats are a committed
+    # fixture RE-DERIVED WITH NUMPY ONLY from the per-id seeded pixel
+    # synthesis (generator never imports the codec), so a decode bug in
+    # ANY filter path breaks the hash.  Fixture matches sf0.01, the
+    # gate's fixed scale.
+    oracle="""
+select doc_id, width, height, mean_px, std_px
+from read_parquet('/root/repo/tests/fixtures/media_png_expected_sf001.parquet')
+""",
+)
+def media_png_decode(spark, sf_dir):
+    """Real PNG decode (stdlib zlib + NumPy unfilter, all five scanline
+    filters) over Arrow-batched binary payloads — the real_decode=True
+    branch of the multimodal decode plumbing."""
+    from osm_chordify_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = MM.synthesize_png_media(docs)
+    decoded = MM.decode_image_stub(media, real_decode=True)
+    # raw doubles, no rounding: both sides run the identical
+    # np.ndarray.mean over the identical pixels, so the doubles are
+    # bit-equal — rounding would only ADD a half-up-vs-banker's hazard
+    return decoded.select(
+        "doc_id",
+        F.col("decoded.width").alias("width"),
+        F.col("decoded.height").alias("height"),
+        F.col("decoded.mean_px").alias("mean_px"),
+        F.col("decoded.std_px").alias("std_px"),
+    )
+
+
+@register(
     "orders_status_priority_cube",
     oracle="""
 select coalesce(o_orderstatus, 'ALL') as status,

@@ -28,9 +28,105 @@ def test_decode_stub_deterministic(media):
     assert a["mean_px"].between(0, 255).all()
 
 
-def test_decode_real_raises(media):
-    with pytest.raises(Exception, match="NotImplementedError|imaging"):
-        MM.decode_image_stub(media, real_decode=True).collect()
+def test_decode_real_non_png_yields_nulls(media):
+    # real_decode on the fake IMG0 payloads: not PNGs -> null rows, no crash
+    out = MM.decode_image_stub(media, real_decode=True).select("decoded.*").toPandas()
+    assert out["width"].isna().all() and out["mean_px"].isna().all()
+
+
+def test_png_fixture_matches_javaio_oracle():
+    """The committed fixture's expected pixels were produced by
+    javax.imageio (the JDK's PNG decoder), NOT by this codec — a
+    filter/inflate bug cannot self-certify."""
+    import numpy as np
+
+    from osm_chordify_spark.functions import png
+
+    data = open("tests/fixtures/sample_rgba.png", "rb").read()
+    expected = np.load("tests/fixtures/sample_rgba_pixels.npy")
+    got = png.decode_png(data)
+    assert got.shape == expected.shape == (17, 23, 4)
+    assert (got == expected).all()
+
+
+def test_png_roundtrip_every_filter_and_channel():
+    import numpy as np
+
+    from osm_chordify_spark.functions import png
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        a = rng.integers(0, 256, size=(11, 13, ch)).astype(np.uint8)
+        for ft in (0, 1, 2, 3, 4, "mixed"):
+            assert (png.decode_png(png.encode_png(a, filter_type=ft)) == a).all()
+    # 2-D grayscale input accepted
+    g = rng.integers(0, 256, size=(5, 9)).astype(np.uint8)
+    assert (png.decode_png(png.encode_png(g)) == g[:, :, None]).all()
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from osm_chordify_spark.functions import png
+
+    a = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = png.encode_png(a)
+    with _pt.raises(ValueError, match="signature"):
+        png.decode_png(b"GIF89a" + good)
+    # flip one IDAT byte -> CRC mismatch
+    bad = bytearray(good)
+    idat = good.index(b"IDAT")
+    bad[idat + 6] ^= 0xFF
+    with _pt.raises(ValueError, match="CRC"):
+        png.decode_png(bytes(bad))
+
+    def with_ihdr(depth=8, color=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, interlace)
+        chunk = (
+            struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        return good[:8] + chunk + good[8 + 12 + 13 :]
+
+    with _pt.raises(ValueError, match="bit depth"):
+        png.decode_png(with_ihdr(depth=16))
+    with _pt.raises(ValueError, match="color type"):
+        png.decode_png(with_ihdr(color=3))
+    with _pt.raises(ValueError, match="interlace"):
+        png.decode_png(with_ihdr(interlace=1))
+
+
+def test_png_real_decode_and_resize_pipeline(spark):
+    """synthesize real PNGs -> real decode -> stats match a direct
+    NumPy re-derivation of the seeded pixels; resize re-encodes to the
+    target dims and stays decodable."""
+    import numpy as np
+
+    from osm_chordify_spark.functions import png
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    media = MM.synthesize_png_media(docs)
+    out = (
+        MM.decode_image_stub(media, real_decode=True)
+        .select("doc_id", "decoded.*")
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    for _, r in out.iterrows():
+        i = int(r.doc_id)
+        rng = np.random.default_rng(i)
+        w, h = 16 + i % 32, 16 + (i * 7) % 32
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (int(r.width), int(r.height)) == (w, h)
+        assert r.mean_px == float(arr.mean()) and r.std_px == float(arr.std())
+    rz = MM.resize_image(media, 8, 6).select("doc_id", "media_resized").toPandas()
+    for _, r in rz.iterrows():
+        arr = png.decode_png(bytes(r.media_resized))
+        assert arr.shape == (6, 8, 3)
 
 
 def test_media_feature_vector_feeds_ann(spark, media):
