@@ -105,6 +105,70 @@ def _per_zone(kern_zone):
     return kern
 
 
+def _resolve_reattach(reattach: str, zindexed: DataFrame,
+                      cogroup_wkb_bytes: int) -> str:
+    """``auto`` → join/cogroup from the mean zone WKB size (one cheap
+    aggregate over the ALREADY-MATERIALIZED zone payload: zindexed is
+    eagerly checkpointed by _build_candidates)."""
+    if reattach in ("join", "cogroup"):
+        return reattach
+    if reattach != "auto":
+        raise ValueError(f"reattach must be join/cogroup/auto, got {reattach!r}")
+    avg = zindexed.agg(F.avg(F.length("__zgeom"))).first()[0] or 0.0
+    return "cogroup" if avg >= cogroup_wkb_bytes else "join"
+
+
+def _cogroup_reattach(pairs: DataFrame, zindexed: DataFrame, zattr_cols,
+                      kern_zone, kern_schema, zone_buckets: int,
+                      salt_buckets: int) -> DataFrame:
+    """Megabyte-geometry re-attach: candidate pairs (edge payload only)
+    and zone payloads shuffle SEPARATELY on the (zone-bucket, salt)
+    key via ``cogroup().applyInPandas`` — each zone's WKB crosses the
+    wire once per group it participates in (≤ salt_buckets copies
+    total), never once per candidate pair.  The kernel receives the
+    zone geometry + attrs out-of-band (kern_zone's _zgeom/_zattrs),
+    trading the native per-group Arrow overhead (bounded by
+    zone_buckets × salt_buckets groups) for the WKB dedup."""
+    left = pairs.withColumn("__gk", _group_key(zone_buckets, salt_buckets))
+    right = (
+        zindexed.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+        )
+        .withColumn(
+            "__gk",
+            F.concat_ws(
+                "#",
+                F.pmod(F.xxhash64("__zid"), F.lit(zone_buckets)).cast("string"),
+                F.col("__salt").cast("string"),
+            ),
+        )
+        .drop("__salt")
+    )
+    out_names = [f.name for f in kern_schema.fields]
+
+    def cg(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(left_pdf):
+            return pd.DataFrame(columns=out_names)
+        zinfo = right_pdf.set_index("__zid")
+        outs = []
+        for zid, g in left_pdf.groupby("__zid", sort=False):
+            zr = zinfo.loc[zid]
+            outs.append(
+                kern_zone(
+                    g.reset_index(drop=True),
+                    _zgeom=bytes(zr["__zgeom"]),
+                    _zattrs={c: zr[c] for c in zattr_cols},
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        left.groupBy("__gk")
+        .cogroup(right.groupBy("__gk"))
+        .applyInPandas(cg, kern_schema)
+    )
+
+
 def _zone_res_list(zcells: DataFrame, cell_col: str = "cell") -> list[int]:
     """Sorted distinct resolutions occupied by a zone cover-cell table
     (≤ MAX_RES+1 values) — the probe side explodes its covers at exactly
@@ -250,11 +314,26 @@ def intersect_lines_with_zones_dist(
     max_cells_per_zone: int = 4096,
     salt_buckets: int = 8,
     zone_buckets: int = 1024,
+    reattach: str = "auto",
+    cogroup_wkb_bytes: int = 65536,
 ) -> DataFrame:
     """Exact line∩polygon join with proportional length metrics over a
     DataFrame zone table — same contract as
     ``intersect.intersect_lines_with_zones`` (which see), for zone
-    tables too large to broadcast."""
+    tables too large to broadcast.
+
+    ``reattach`` picks how zone geometry reaches the clip kernel:
+
+    * ``"join"`` — equi-join the zone payload onto every candidate
+      pair; the zone's WKB repeats once per pair through the
+      grouped-map shuffle.  Cheapest for typical (≤ a few KB) rings.
+    * ``"cogroup"`` — ``cogroup().applyInPandas``: pairs and zone
+      payloads shuffle SEPARATELY on the group key, so each zone's WKB
+      ships once per (zone-bucket, salt) group instead of once per
+      pair — the megabyte-geometry shape (a 10k-vertex county ring
+      with 10k candidate edges would otherwise repeat its WKB 10k×).
+    * ``"auto"`` (default) — one cheap aggregate over the materialized
+      zone payload: mean WKB ≥ ``cogroup_wkb_bytes`` → cogroup."""
     spark = edges.sparkSession
     metric_names = line_metric_names(zone_label)
     zone_fields = [f for f in zones_df.schema.fields if f.name != geometry_col]
@@ -271,22 +350,16 @@ def intersect_lines_with_zones_dist(
         edge_attr_cols, geometry_col, index_res, world, max_cells_per_zone,
     )
 
-    # ---- re-attach payloads, run the exact kernel per salted zone group -
-    work = (
-        cand.join(zindexed, "__zid")
-        .join(epay, "__eid")
-        .withColumn("__gk", _group_key(zone_buckets, salt_buckets))
-    )
-
     mp, me, mz = (metric_names["proportion"], metric_names["edge_length"],
                   metric_names["zone_length"])
     out_names = [f.name for f in kern_schema.fields]
-    attr_names = [edge_renames[c] for c in edge_attr_cols] + [
-        zone_renames[zf.name] for zf in zone_fields
-    ]
+    zattr_cols = [zone_renames[zf.name] for zf in zone_fields]
+    attr_names = [edge_renames[c] for c in edge_attr_cols] + zattr_cols
 
-    def kern_zone(pdf: pd.DataFrame) -> pd.DataFrame:
-        zpolys = G.geometry_polygons(bytes(pdf["__zgeom"].iloc[0]))
+    def kern_zone(pdf: pd.DataFrame, _zgeom=None, _zattrs=None) -> pd.DataFrame:
+        zpolys = G.geometry_polygons(
+            bytes(_zgeom) if _zgeom is not None else bytes(pdf["__zgeom"].iloc[0])
+        )
         lines = [G.geometry_lines(bytes(g)) for g in pdf["__egeom"]]
         contained = pdf["__contained"].to_numpy()
         elen = pdf["__elen"].to_numpy()
@@ -323,14 +396,30 @@ def intersect_lines_with_zones_dist(
         if keep_geometry:
             out["geometry"] = geov
         for c in attr_names:
-            out[c] = base[c]
+            if _zattrs is not None and c in _zattrs:
+                out[c] = [_zattrs[c]] * len(base)
+            else:
+                out[c] = base[c]
         if include_void_zones:
             out["__zid"] = base["__zid"]
         return pd.DataFrame(out, columns=out_names)
 
-    from osm_chordify_spark.operators.graph import _grouped_map
+    # ---- re-attach payloads, run the exact kernel per zone group --------
+    mode = _resolve_reattach(reattach, zindexed, cogroup_wkb_bytes)
+    if mode == "join":
+        from osm_chordify_spark.operators.graph import _grouped_map
 
-    result = _grouped_map(work, "__gk", _per_zone(kern_zone), kern_schema)
+        work = (
+            cand.join(zindexed, "__zid")
+            .join(epay, "__eid")
+            .withColumn("__gk", _group_key(zone_buckets, salt_buckets))
+        )
+        result = _grouped_map(work, "__gk", _per_zone(kern_zone), kern_schema)
+    else:
+        result = _cogroup_reattach(
+            cand.join(epay, "__eid"), zindexed, zattr_cols, kern_zone,
+            kern_schema, zone_buckets, salt_buckets,
+        )
 
     if include_void_zones:
         result = _append_void_rows_dist(

@@ -276,3 +276,45 @@ def test_nearest_zone_dist_parity_with_broadcast(spark):
     assert len(got) == 300
     assert (got["zone_id"].to_numpy() == exp["zone_id"].to_numpy()).all()
     assert np.allclose(got["dist"], exp["dist"], rtol=1e-12)
+
+
+def test_cogroup_reattach_parity_with_join_on_high_vertex_zone(spark):
+    """Megabyte-geometry dispatch (VERDICT r3 #6): a zone whose outer
+    ring has 20k vertices (~320 KB WKB) must produce IDENTICAL output
+    through reattach='cogroup' (geometry ships once per group) and
+    reattach='join' (geometry repeats per candidate pair), and
+    reattach='auto' must pick cogroup for it."""
+    edges = _edges(spark)
+    # near-circular 20k-vertex polygon covering the edge extent, plus a
+    # plain rectangle so multi-zone groups are exercised
+    t = np.linspace(0.0, 2 * np.pi, 20_001)[:-1]
+    ring = np.column_stack([3.0 + 3.2 * np.cos(t), 3.0 + 3.2 * np.sin(t)])
+    zdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "zone_id": ["BIG", "R"],
+                "geometry": [
+                    G.wkb_polygon([ring]),
+                    G.wkb_polygon([[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]]]),
+                ],
+            }
+        )
+    )
+    assert ID._resolve_reattach("auto", zdf.select(
+        F.monotonically_increasing_id().alias("__zid"),
+        F.col("geometry").alias("__zgeom")), 65536) == "cogroup"
+    outs = {}
+    for mode in ("join", "cogroup"):
+        outs[mode] = (
+            ID.intersect_lines_with_zones_dist(
+                edges, zdf, keep_geometry=True, reattach=mode
+            )
+            .select(*METRIC_COLS, "geometry").toPandas()
+            .sort_values(METRIC_COLS).reset_index(drop=True)
+        )
+    assert len(outs["join"]) > 100
+    a, b = outs["join"], outs["cogroup"]
+    pd.testing.assert_frame_equal(a[METRIC_COLS], b[METRIC_COLS])
+    assert all(
+        bytes(x) == bytes(y) for x, y in zip(a["geometry"], b["geometry"])
+    )
