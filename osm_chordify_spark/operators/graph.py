@@ -361,8 +361,18 @@ def _chain_components_rank(
     ≤ 1 and out-degree ≤ 1, i.e. disjoint chains and rings (chordify's
     consecutive-edge pairs; the fan-out guard in chordify enforces the
     precondition).  Returns (id, component, seq) where ``seq`` is the
-    0-based distance from the chain head (NULL on rings, which have no
-    head — callers order those the slow way).
+    0-based distance from the chain head — for rings, from the
+    deterministic anchor (the ring's min vertex id), so seq is TOTAL.
+
+    Rings get their seq from a SECOND Wyllie pass (round 4): the first
+    pass labels each ring with its minimum vertex id (mp); the ring
+    subset then re-runs the identical doubling with the ANCHOR's (the
+    min-id vertex's) predecessor pointer cut, turning every ring into a
+    rooted chain — seq = distance from the anchor, exactly the order
+    the old per-chain Python pass produced (it also started rings at
+    the min edge id).  The second pass touches ONLY ring vertices (zero
+    cost when there are none), so chordify's phase A is fully
+    relational for every functional input.
 
     One pointer-doubling self-join per step on the unique PREDECESSOR
     pointer only (half the join count of a pred+succ formulation), with
@@ -396,12 +406,10 @@ def _chain_components_rank(
         .distinct()
     )
     pred = pairs.select(F.col(dst).alias("id"), F.col(src).alias("__p"))
-    # init stays LAZY: it feeds round 1's join chain directly (one round
-    # of lazy depth is fine — only round-over-round compounding needs
-    # the materialization discipline); n comes from a cheap count
-    state = (
-        verts.join(pred, "id", "left")
-        .select(
+
+    def init_state(vp):
+        """(id, __p) with NULL __p at heads → the doubling state."""
+        return vp.select(
             "id",
             F.coalesce(F.col("__p"), F.col("id")).alias("pp"),
             F.least(F.col("id"), F.coalesce(F.col("__p"), F.col("id"))).alias("mp"),
@@ -409,55 +417,83 @@ def _chain_components_rank(
             .cast("long").alias("dp"),
             F.col("__p").isNull().alias("rooted"),
         )
-        .persist()
-    )
-    n = state.count()
-    import math
 
-    needed_steps = max(1, math.ceil(math.log2(max(n, 2)))) + 1
-    steps_done = 0
-    init = state
-    while steps_done < needed_steps:
-        cur = state
-        for _ in range(steps_per_round):
-            lkp = cur.select(
-                F.col("id").alias("lid"), F.col("pp").alias("pp2"),
-                F.col("mp").alias("mp2"), F.col("dp").alias("dp2"),
-                F.col("rooted").alias("rt2"),
-            )
-            cur = cur.join(lkp, cur.pp == lkp.lid, "left").select(
-                "id",
-                F.coalesce(F.col("pp2"), F.col("pp")).alias("pp"),
-                F.least(F.col("mp"), F.coalesce(F.col("mp2"), F.col("mp"))).alias("mp"),
-                (F.col("dp") + F.coalesce(F.col("dp2"), F.lit(0))).alias("dp"),
-                F.coalesce(F.col("rt2"), F.col("rooted")).alias("rooted"),
-            )
-            # a pointer-doubling step references `cur` TWICE (probe side +
-            # lookup side), so an unbroken lazy chain of k steps is a plan
-            # tree with 2^k copies of the base state — measured 3× slower
-            # at k=4 from exchange setup alone.  A LAZY localCheckpoint per
-            # step collapses the tree to a linear chain: the step RDD
-            # materializes once when the round's job runs and both
-            # branches of the next step read its blocks.  (Stats carried
-            # by these intra-round checkpoints grow only 2× per step and
-            # are reset by the round-end persist→count→eager-checkpoint.)
-            cur = cur.localCheckpoint(eager=False)
-        steps_done += steps_per_round
-        cur = cur.persist()
-        # the materializing count doubles as the exit probe: zero
-        # unrooted rows certifies the final state outright
-        unrooted = cur.filter(~F.col("rooted")).count()
-        ck = cur.localCheckpoint(eager=True)
-        cur.unpersist()
-        state = ck
-        if unrooted == 0:
-            break
-    init.unpersist()
-    return state.select(
-        "id",
-        F.when(F.col("rooted"), F.col("pp")).otherwise(F.col("mp")).alias("component"),
-        F.when(F.col("rooted"), F.col("dp")).otherwise(F.lit(None)).alias("seq"),
+    def run_doubling(state, n):
+        """Run the doubling to all-rooted or the ⌈log₂n⌉+1 budget;
+        ``state`` must already be persisted.  Returns (final_state,
+        last unrooted count)."""
+        import math
+
+        needed_steps = max(1, math.ceil(math.log2(max(n, 2)))) + 1
+        steps_done = 0
+        init = state
+        unrooted = n
+        while steps_done < needed_steps:
+            cur = state
+            for _ in range(steps_per_round):
+                lkp = cur.select(
+                    F.col("id").alias("lid"), F.col("pp").alias("pp2"),
+                    F.col("mp").alias("mp2"), F.col("dp").alias("dp2"),
+                    F.col("rooted").alias("rt2"),
+                )
+                cur = cur.join(lkp, cur.pp == lkp.lid, "left").select(
+                    "id",
+                    F.coalesce(F.col("pp2"), F.col("pp")).alias("pp"),
+                    F.least(F.col("mp"), F.coalesce(F.col("mp2"), F.col("mp"))).alias("mp"),
+                    (F.col("dp") + F.coalesce(F.col("dp2"), F.lit(0))).alias("dp"),
+                    F.coalesce(F.col("rt2"), F.col("rooted")).alias("rooted"),
+                )
+                # a pointer-doubling step references `cur` TWICE (probe side
+                # + lookup side), so an unbroken lazy chain of k steps is a
+                # plan tree with 2^k copies of the base state — measured 3×
+                # slower at k=4 from exchange setup alone.  A LAZY
+                # localCheckpoint per step collapses the tree to a linear
+                # chain: the step RDD materializes once when the round's
+                # job runs and both branches of the next step read its
+                # blocks.  (Stats carried by these intra-round checkpoints
+                # grow only 2× per step and are reset by the round-end
+                # persist→count→eager-checkpoint.)
+                cur = cur.localCheckpoint(eager=False)
+            steps_done += steps_per_round
+            cur = cur.persist()
+            # the materializing count doubles as the exit probe: zero
+            # unrooted rows certifies the final state outright
+            unrooted = cur.filter(~F.col("rooted")).count()
+            ck = cur.localCheckpoint(eager=True)
+            cur.unpersist()
+            state = ck
+            if unrooted == 0:
+                break
+        init.unpersist()
+        return state, unrooted
+
+    # init stays LAZY: it feeds round 1's join chain directly (one round
+    # of lazy depth is fine — only round-over-round compounding needs
+    # the materialization discipline); n comes from a cheap count
+    state = init_state(verts.join(pred, "id", "left")).persist()
+    n = state.count()
+    state, unrooted = run_doubling(state, n)
+    chains = state.filter(F.col("rooted")).select(
+        "id", F.col("pp").alias("component"), F.col("dp").alias("seq")
     )
+    if unrooted == 0:
+        return chains
+
+    # ---- ring pass: cut the anchor's pred pointer, rank again ----------
+    ring = state.filter(~F.col("rooted")).select("id", F.col("mp").alias("__ring"))
+    pred_r = (
+        ring.join(pred, "id")
+        .filter(F.col("id") != F.col("__ring"))  # anchor becomes the head
+        .select("id", "__p")
+    )
+    state2 = init_state(ring.select("id").join(pred_r, "id", "left")).persist()
+    state2, _ = run_doubling(state2, unrooted)
+    # every ring is now a rooted chain headed at its min-id vertex, so
+    # pp = the anchor = the first pass's mp label: component ids agree
+    ring_ranked = state2.select(
+        "id", F.col("pp").alias("component"), F.col("dp").alias("seq")
+    )
+    return chains.unionByName(ring_ranked)
 
 
 def _grouped_map(df: DataFrame, key: str, fn, schema) -> DataFrame:
@@ -572,9 +608,11 @@ def chordify(
 
     Plan shape: degree/compat aggs (2 shuffles) → edge-pair self-join →
     chain components + Wyllie list ranks over pairs (log rounds; seq
-    comes free with the components — only ring chains fall back to the
-    per-chain Python ordering) → groupBy(chain).agg(A1–A9 exprs) →
-    union with untouched edges.  No driver-side iteration over rows."""
+    comes free for chains AND rings — a second anchor-cut ranking pass
+    orders rings, so phase A has NO Python ordering; only the
+    parallel-multigraph generic-CC fallback still orders per-chain in
+    pandas) → groupBy(chain).agg(A1–A9 exprs) → union with untouched
+    edges.  No driver-side iteration over rows."""
     e = _edge_ids(edges)
     inter = interstitial_nodes(edges, list(edge_attrs_differ)).withColumn(
         "__collapsible", F.lit(True)
@@ -607,13 +645,17 @@ def chordify(
         .filter(F.col("count") > 1)
     )
     if fan.isEmpty():
-        # (id=__eid, component, seq) — seq is the list rank for chain
-        # components, NULL for rings (ordered the slow way below)
+        # (id=__eid, component, seq) — seq is the list rank for chains
+        # AND rings (second Wyllie pass from the ring anchor), so the
+        # per-chain Python ordering below only ever runs on the
+        # generic-CC fallback
         comp = _chain_components_rank(pairs)
+        seq_total = True
     else:
         comp = connected_components(pairs).withColumn(
             "seq", F.lit(None).cast("long")
         )
+        seq_total = False
     pairs.unpersist()
     chained = e.join(comp, e.__eid == comp.id, "left").drop("id")
     untouched = chained.filter(F.col("component").isNull()).drop(
@@ -674,13 +716,20 @@ def chordify(
             seq += 1
         return pd.DataFrame(out, columns=["component", "__eid", "seq"])
 
-    with_seq = chain_edges.filter(F.col("seq").isNotNull())
-    no_seq = chain_edges.filter(F.col("seq").isNull()).drop("seq")
-    ordered = _grouped_map(
-        no_seq.select("component", "__eid", "u", "v"),
-        "component", order_chain, order_schema,
-    )
-    chain_full = with_seq.unionByName(no_seq.join(ordered, ["component", "__eid"]))
+    if seq_total:
+        # specialized path: seq is total (chains AND rings) — phase A is
+        # fully relational, no Python ordering in the plan at all
+        chain_full = chain_edges
+    else:
+        with_seq = chain_edges.filter(F.col("seq").isNotNull())
+        no_seq = chain_edges.filter(F.col("seq").isNull()).drop("seq")
+        ordered = _grouped_map(
+            no_seq.select("component", "__eid", "u", "v"),
+            "component", order_chain, order_schema,
+        )
+        chain_full = with_seq.unionByName(
+            no_seq.join(ordered, ["component", "__eid"])
+        )
 
     # --- phase B: aggregate each chain into one chord edge -----------------
     attr_cols = [

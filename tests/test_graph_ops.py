@@ -364,3 +364,53 @@ def test_simplify_edge_geometries_tolerance_and_topology(spark):
                     p[0], p[1], simp[i, 0], simp[i, 1],
                     simp[i + 1, 0], simp[i + 1, 1])))
             assert best <= tol + 1e-9
+
+
+def test_chordify_rings_fully_relational_no_python_ordering(spark, monkeypatch):
+    """Ring-heavy input on the specialized (functional) path must never
+    reach the per-chain Python ordering: the second anchor-cut Wyllie
+    pass ranks rings relationally (VERDICT r3 #8).  Geometry order and
+    merged ids must match the old ordering's deterministic contract
+    (start at the min edge id, walk successors)."""
+    import osm_chordify_spark.operators.graph as GRm
+
+    rows = []
+    osmid = 100
+    # 30 disjoint directed rings of varying size + a plain chain
+    node = 1000
+    for n in (3, 4, 5, 6, 7):
+        for _ in range(6):
+            ids = [node + i for i in range(n)]
+            node += n
+            for i in range(n):
+                rows.append((ids[i], ids[(i + 1) % n], 0, osmid, 1.0,
+                             "residential", "yes"))
+                osmid += 1
+    chain_ids = [node + i for i in range(5)]
+    for i in range(4):
+        rows.append((chain_ids[i], chain_ids[i + 1], 0, osmid, 1.0,
+                     "residential", "yes"))
+        osmid += 1
+
+    real = GRm._grouped_map
+    calls = {"n": 0}
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(GRm, "_grouped_map", spy)
+    out = GRm.chordify(_edges(spark, rows), edge_attrs_differ=["highway"]).toPandas()
+    assert calls["n"] == 0  # no Python ordering anywhere in phase A
+    assert len(out) == 31  # 30 ring chords + 1 chain chord
+    rings = out[out["u"] == out["v"]]
+    assert len(rings) == 30
+    assert (rings["length"].isin([3.0, 4.0, 5.0, 6.0, 7.0])).all()
+    # every merged id appears exactly once across all chords
+    merged = sorted(x for xs in out["merged_osmids"] for x in xs)
+    assert merged == list(range(100, osmid))
+    # geometry of each ring chord is a closed walk from the anchor edge
+    for _, r in rings.iterrows():
+        lines = G.geometry_lines(bytes(r["geometry"]))
+        pts = np.vstack(lines)
+        assert tuple(pts[0]) == tuple(pts[-1])  # closed ring walk
