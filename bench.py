@@ -160,6 +160,7 @@ def run_relational(spark: SparkSession, sf_dir: str) -> dict:
         "ann_cosine_topk",
         "text_analysis",
         "raster_zonal_stats",
+        "raster_zonal_stats_100k_dist",
         "raster_vectorize_regions",
     )
     qs = m.queries()

@@ -492,6 +492,71 @@ def segments_intersect_rect(ring: np.ndarray, x0, y0, x1, y1) -> bool:
     return bool(np.any(ok & (t0 <= t1)))
 
 
+def _segs_intersect_rects(ax, ay, bx, by, x0, y0, x1, y1) -> np.ndarray:
+    """Liang–Barsky broadcast over (segments, rects): per rect k, does
+    ANY of the (ax, ay)→(bx, by) segments intersect it?  Same
+    comparisons as the scalar-rect ``segments_intersect_rect``, so the
+    two agree cell-for-cell (pinned in tests)."""
+    ax, ay = ax[:, None], ay[:, None]  # (S, 1)
+    bx, by = bx[:, None], by[:, None]
+    dx, dy = bx - ax, by - ay
+    x0 = np.asarray(x0, dtype=np.float64)[None, :]  # (1, K)
+    y0 = np.asarray(y0, dtype=np.float64)[None, :]
+    x1 = np.asarray(x1, dtype=np.float64)[None, :]
+    y1 = np.asarray(y1, dtype=np.float64)[None, :]
+    S, K = ax.shape[0], x0.shape[1]
+    t0 = np.zeros((S, K))
+    t1 = np.ones((S, K))
+    ok = np.ones((S, K), dtype=bool)
+    for p, q in (
+        (-dx, ax - x0),
+        (dx, x1 - ax),
+        (-dy, ay - y0),
+        (dy, y1 - ay),
+    ):
+        zero = p == 0  # (S, 1), broadcasts
+        ok &= ~(zero & (q < 0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = q / np.where(zero, 1.0, p)
+        ent = (~zero) & (p < 0)
+        ext = (~zero) & (p > 0)
+        t0 = np.where(ent, np.maximum(t0, t), t0)
+        t1 = np.where(ext, np.minimum(t1, t), t1)
+    return (ok & (t0 <= t1)).any(axis=0)
+
+
+def segments_intersect_rects(ring: np.ndarray, x0, y0, x1, y1) -> np.ndarray:
+    """Vectorized MANY-rect variant of ``segments_intersect_rect``:
+    for each rect k in the (x0, y0, x1, y1) arrays, does ANY segment of
+    ``ring`` intersect it?  Segments whose bbox misses the rects' UNION
+    bbox are prefiltered (exact: a bbox-disjoint segment cannot clip
+    into any of the rects), which keeps long rings cheap when the rect
+    set is spatially local — the chunked-cover caller's shape.  Memory
+    is O(S'·K·8 bytes) for the surviving S' segments; callers chunk K
+    for very long rings."""
+    r = ring_close(ring)
+    ax, ay = r[:-1, 0], r[:-1, 1]
+    bx, by = r[1:, 0], r[1:, 1]
+    x0a = np.asarray(x0, dtype=np.float64)
+    y0a = np.asarray(y0, dtype=np.float64)
+    x1a = np.asarray(x1, dtype=np.float64)
+    y1a = np.asarray(y1, dtype=np.float64)
+    if len(x0a) == 0 or len(ax) == 0:
+        return np.zeros(len(x0a), dtype=bool)
+    X0, Y0, X1, Y1 = x0a.min(), y0a.min(), x1a.max(), y1a.max()
+    keep = (
+        (np.maximum(ax, bx) >= X0)
+        & (np.minimum(ax, bx) <= X1)
+        & (np.maximum(ay, by) >= Y0)
+        & (np.minimum(ay, by) <= Y1)
+    )
+    if not keep.any():
+        return np.zeros(len(x0a), dtype=bool)
+    return _segs_intersect_rects(
+        ax[keep], ay[keep], bx[keep], by[keep], x0a, y0a, x1a, y1a
+    )
+
+
 def rect_fully_inside(x0, y0, x1, y1, rings) -> bool:
     """Conservative 'cell rectangle fully inside polygon' test: all four
     corners strictly inside and no ring segment crosses the rectangle.

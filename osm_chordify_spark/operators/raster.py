@@ -811,6 +811,7 @@ def zonal_stats_dist(
     world=None,
     max_cells_per_zone: int = 4096,
     salt_buckets: int = 8,
+    zone_buckets: int = 1024,
 ) -> DataFrame:
     """``zonal_stats`` over a DataFrame zone table too large to
     broadcast (the same dispatch story as
@@ -905,16 +906,20 @@ def zonal_stats_dist(
         return pdf.loc[inside, ["__zid", "value"]]
 
     from osm_chordify_spark.operators.graph import _grouped_map
+    from osm_chordify_spark.operators.intersect_dist import _per_zone
 
+    # zone-bucketed group key (same rationale as intersect_dist): at
+    # 10⁵⁻⁶ tiny zones, per-zone Arrow groups dominate — bucket many
+    # zones per group and regroup by __zid inside pandas
     salted = partial.withColumn(
         "__gk",
         F.concat_ws(
             "#",
-            F.col("__zid"),
+            F.pmod(F.xxhash64("__zid"), F.lit(zone_buckets)),
             F.pmod(F.xxhash64("__cx", "__cy"), F.lit(salt_buckets)),
         ),
     )
-    refined = _grouped_map(salted, "__gk", refine, part_schema)
+    refined = _grouped_map(salted, "__gk", _per_zone(refine), part_schema)
 
     accepted = accepted_full.unionByName(refined.select("__zid", "value"))
     return (

@@ -63,28 +63,47 @@ def zone_cover_cells(polys, res: int, world=ci.WORLD,
     rect is entirely inside (the containment fast path).  The single
     source of truth for candidate-cell classification — ZoneIndex.build
     and the distributed path both call this, so their candidate sets are
-    byte-identical by construction."""
+    byte-identical by construction.
+
+    Classification is vectorized ACROSS the zone's cover cells (round
+    4): one broadcast Liang–Barsky over (boundary-local segments ×
+    cells) finds crossing cells, and one point-in-polygon over a
+    SINGLE corner per non-crossing cell decides the rest — when no
+    segment intersects a cell's rect, the winding number is constant
+    over the whole rect, so one corner carries the original
+    all-corners/any-corner semantics exactly.  This replaces the
+    per-cell Python loop whose small-NumPy-call overhead (~2.3 ms/zone
+    for a 4-vertex tract, ~9 cells) was the dominant fixed cost of the
+    distributed zone operators at 10⁵ zones.  Cells are chunked so the
+    (S × K) broadcast stays under ~2M entries; per-chunk segment-bbox
+    prefiltering (inside segments_intersect_rects) keeps 10⁴⁺-vertex
+    rings cheap.  Kept/full classification is identical to the old
+    per-cell logic (parity pinned in tests)."""
     seen: dict = {}
     for rings in polys:
         x0, y0, x1, y1 = G.polygon_bbox(rings)
         cover = ci.cover_bbox(x0, y0, x1, y1, res, world, max_cells=max_cells_per_zone)
         bx0, by0, bx1, by1 = ci.cell_bounds(cover, world)
-        for k in range(len(cover)):
-            full = G.rect_fully_inside(bx0[k], by0[k], bx1[k], by1[k], rings)
-            if not full:
-                corners_in = G.point_in_polygon(
-                    np.array([bx0[k], bx1[k], bx1[k], bx0[k]]),
-                    np.array([by0[k], by0[k], by1[k], by1[k]]),
-                    rings,
-                ).any()
-                crossing = any(
-                    G.segments_intersect_rect(rg, bx0[k], by0[k], bx1[k], by1[k])
-                    for rg in rings
-                )
-                if not (corners_in or crossing):
-                    continue
-            c = int(cover[k])
-            seen[c] = bool(seen.get(c, False) or full)
+        n = len(cover)
+        max_seg = max(max(len(rg) for rg in rings), 1)
+        step = max(1, 2_000_000 // max_seg)
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            cx0, cy0, cx1, cy1 = bx0[s:e], by0[s:e], bx1[s:e], by1[s:e]
+            k = e - s
+            crossing = np.zeros(k, dtype=bool)
+            for rg in rings:
+                crossing |= G.segments_intersect_rects(rg, cx0, cy0, cx1, cy1)
+            full = np.zeros(k, dtype=bool)
+            nc = np.nonzero(~crossing)[0]
+            if len(nc):
+                # no boundary in the rect ⇒ insideness is constant on
+                # it ⇒ one corner ≡ all four corners
+                full[nc] = G.point_in_polygon(cx0[nc], cy0[nc], rings)
+            kept = np.nonzero(full | crossing)[0]
+            for i in kept:
+                c = int(cover[s + i])
+                seen[c] = bool(seen.get(c, False) or full[i])
     return seen
 
 

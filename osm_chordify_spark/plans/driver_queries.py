@@ -2002,6 +2002,76 @@ def raster_zonal_stats_dist(spark, sf_dir):
 
 
 @register(
+    "raster_zonal_stats_100k_dist",
+    oracle=_PAGES_COORDS_CTE
+    + """
+, cells as (
+  select cast(floor((lon - (-13e1)) / 125e-3) as bigint) as cx,
+         cast(floor((lat - 2e1) / 125e-3) as bigint) as cy,
+         count(*) as v
+  from coords group by 1, 2
+)
+select concat('Z', cast(floor(cy / 2e0) as int),
+              '_', cast(floor(cx / 2e0) as int)) as zone_id,
+       count(*) as n_cells,
+       cast(sum(v) as bigint) as sum_value,
+       cast(min(v) as bigint) as min_value,
+       cast(max(v) as bigint) as max_value,
+       round(cast(sum(v) as double) / count(*), 4) as mean_value
+from cells group by 1
+""",
+)
+def raster_zonal_stats_100k_dist(spark, sf_dir):
+    """Distributed zonal stats at LAKE-SCALE zone count: a 0.125-deg
+    page-density raster against a 480x240 = 115,200-zone grid
+    (0.25-deg tracts), synthesized DISTRIBUTED — the raster twin of
+    zone_intersect_100k_zones_dist.  Zone-bucketed refinement groups
+    (operators/raster.py zonal_stats_dist) keep Arrow group count
+    bounded regardless of zone count.  Float-parity design: both cell
+    (2^-3 deg) and zone (2^-2 deg) sizes are binary-exact, so raster
+    cell centers (odd multiples of 2^-4) can NEVER sit on a zone
+    boundary and the oracle's integer floor(cx/2) grouping is exactly
+    the kernel's point-in-polygon assignment."""
+    from osm_chordify_spark.operators import raster as R
+
+    docs = _t(spark, sf_dir, "documents").select(
+        P.lon_col().alias("lon"), P.lat_col().alias("lat")
+    )
+    grid = R.GridSpec(x0=-130.0, y0=20.0, dx=0.125, dy=0.125, tile=32)
+    tiles = R.rasterize_points(docs, grid, "lon", "lat", stat="count")
+
+    NGX, NGY, W = 480, 240, 0.25
+    zsp = spark.range(0, NGX * NGY, 1, 32).select(
+        (F.col("id") % NGX).alias("i"),
+        ((F.col("id") - F.col("id") % NGX) / NGX).cast("long").alias("j"),
+    )
+
+    @F.pandas_udf("binary")
+    def mk_rect(i: pd.Series, j: pd.Series) -> pd.Series:
+        out = []
+        for ii, jj in zip(i, j):
+            x0, y0 = -130.0 + ii * W, 20.0 + jj * W
+            out.append(_G.wkb_polygon(
+                [[[x0, y0], [x0 + W, y0], [x0 + W, y0 + W], [x0, y0 + W]]]
+            ))
+        return pd.Series(out)
+
+    zdf = zsp.select(
+        F.concat(F.lit("Z"), F.col("j"), F.lit("_"), F.col("i")).alias("zone_id"),
+        mk_rect("i", "j").alias("geometry"),
+    )
+    stats = R.zonal_stats_dist(tiles, grid, zdf, res=11)
+    return stats.select(
+        "zone_id",
+        "n_cells",
+        F.col("sum_value").cast("long").alias("sum_value"),
+        F.col("min_value").cast("long").alias("min_value"),
+        F.col("max_value").cast("long").alias("max_value"),
+        F.round("mean_value", 4).alias("mean_value"),
+    )
+
+
+@register(
     "raster_sample_nearest",
     oracle=_RASTER_CELLS_CTE
     + """

@@ -288,3 +288,72 @@ def test_erode_splits_dumbbell():
         # neck (points there really are > 1 from every boundary)
         area = G.polygon_area(p)
         assert 4.0 <= area < 4.05, area
+
+
+def test_segments_intersect_rects_matches_scalar():
+    """The broadcast many-rect Liang-Barsky (with segment-bbox
+    prefilter) must agree cell-for-cell with the scalar-rect version."""
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        ring = rng.uniform(-50, 50, size=(rng.integers(3, 40), 2))
+        x0 = rng.uniform(-60, 50, size=30)
+        y0 = rng.uniform(-60, 50, size=30)
+        x1 = x0 + rng.uniform(0.1, 20, size=30)
+        y1 = y0 + rng.uniform(0.1, 20, size=30)
+        got = G.segments_intersect_rects(ring, x0, y0, x1, y1)
+        exp = np.array([
+            G.segments_intersect_rect(ring, x0[k], y0[k], x1[k], y1[k])
+            for k in range(30)
+        ])
+        assert (got == exp).all()
+
+
+def test_zone_cover_cells_matches_percell_reference():
+    """The vectorized cover classification (crossing broadcast + one
+    corner per non-crossing cell) must reproduce the original per-cell
+    all-corners logic exactly — incl. holes, multipolygons, and
+    cell-aligned boundaries."""
+    from osm_chordify_spark import cellindex as ci
+    from osm_chordify_spark.operators import zoneindex as ZI
+
+    def reference(polys, res, mx=1 << 20):
+        seen = {}
+        for rings in polys:
+            x0, y0, x1, y1 = G.polygon_bbox(rings)
+            cover = ci.cover_bbox(x0, y0, x1, y1, res, ci.WORLD, max_cells=mx)
+            bx0, by0, bx1, by1 = ci.cell_bounds(cover, ci.WORLD)
+            for k in range(len(cover)):
+                full = G.rect_fully_inside(bx0[k], by0[k], bx1[k], by1[k], rings)
+                if not full:
+                    cin = G.point_in_polygon(
+                        np.array([bx0[k], bx1[k], bx1[k], bx0[k]]),
+                        np.array([by0[k], by0[k], by1[k], by1[k]]), rings,
+                    ).any()
+                    cr = any(
+                        G.segments_intersect_rect(rg, bx0[k], by0[k], bx1[k], by1[k])
+                        for rg in rings
+                    )
+                    if not (cin or cr):
+                        continue
+                seen[int(cover[k])] = bool(seen.get(int(cover[k]), False) or full)
+        return seen
+
+    t = np.linspace(0, 2 * np.pi, 41)[:-1]
+    r = 20 + 10 * np.sin(5 * t)
+    w = 360 / 512
+    shapes = [
+        [[np.array([[0.0, 0.0], [0.25, 0.0], [0.25, 0.25], [0.0, 0.25]])]],
+        [[np.column_stack([r * np.cos(t), r * np.sin(t) * 0.5])]],
+        [[np.array([[-30.0, -30.0], [30.0, -30.0], [30.0, 30.0], [-30.0, 30.0]]),
+          np.array([[-10.0, -10.0], [10.0, -10.0], [10.0, 10.0], [-10.0, 10.0]])]],
+        [[np.array([[0.0, 0.0], [5.0, 0.0], [5.0, 5.0], [0.0, 5.0]])],
+         [np.array([[40.0, 40.0], [45.0, 40.0], [45.0, 45.0], [40.0, 45.0]])]],
+        # cell-aligned rect: zone edges exactly on res-9 cell boundaries
+        [[np.array([[-180.0, -90.0], [-180.0 + 3 * w, -90.0],
+                    [-180.0 + 3 * w, -90.0 + w], [-180.0, -90.0 + w]])]],
+    ]
+    for polys in shapes:
+        for res in (6, 8, 9):
+            assert reference(polys, res) == ZI.zone_cover_cells(
+                polys, res, max_cells_per_zone=1 << 20
+            ), (res,)
