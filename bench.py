@@ -154,6 +154,7 @@ def run_relational(spark: SparkSession, sf_dir: str) -> dict:
         "zone_intersect_lines",
         "zone_intersect_lines_dist",
         "zone_intersect_100k_zones_dist",
+        "pages_nearest_zone_163k_dist",
         "chordify_contraction",
         "knn_segment_match",
         "minhash_lsh_dedup",

@@ -143,3 +143,155 @@ def token_frequency(
         .filter(F.col("rk") <= top_n)
         .drop("rk")
     )
+
+
+PROTECTED_HIGHWAY_TYPES = (
+    "motorway", "motorway_link", "trunk", "trunk_link", "primary",
+    "primary_link",
+)
+
+
+def _truthy_tag(col: F.Column) -> F.Column:
+    """OSM-style truthy (reference graph.py:185-191): yes/true/1,
+    case/whitespace-insensitive; NULL → false; booleans cast through
+    their string form ('true')."""
+    return F.lower(F.trim(col.cast("string"))).isin("yes", "true", "1")
+
+
+def protected_edge_expr(edges: DataFrame) -> F.Column:
+    """Column form of the reference's conservative-cleanup protection
+    test (reference graph.py:194-204): protected_backbone truthy OR
+    layer_role == 'backbone' OR any highway value in the protected set
+    OR bridge/tunnel truthy.  Columns absent from the frame simply
+    don't contribute."""
+    from pyspark.sql.types import ArrayType
+
+    parts = []
+    cols = dict(zip(edges.columns, [f.dataType for f in edges.schema.fields]))
+    if "protected_backbone" in cols:
+        parts.append(_truthy_tag(F.col("protected_backbone")))
+    if "layer_role" in cols:
+        parts.append(F.col("layer_role") == "backbone")
+    if "highway" in cols:
+        hw = F.col("highway")
+        if isinstance(cols["highway"], ArrayType):
+            parts.append(
+                F.arrays_overlap(
+                    hw.cast("array<string>"),
+                    F.array(*[F.lit(h) for h in PROTECTED_HIGHWAY_TYPES]),
+                )
+            )
+        else:
+            parts.append(hw.cast("string").isin(*PROTECTED_HIGHWAY_TYPES))
+    if "bridge" in cols:
+        parts.append(_truthy_tag(F.col("bridge")))
+    if "tunnel" in cols:
+        parts.append(_truthy_tag(F.col("tunnel")))
+    if not parts:
+        return F.lit(False)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out | p
+    return F.coalesce(out, F.lit(False))
+
+
+def highway_type_counts(edges: DataFrame, top: int = 8) -> DataFrame:
+    """Top-``top`` highway histogram (reference graph.py:535-539:
+    explode + value_counts().head(8)) — list-valued highway columns
+    explode per element; ties break on the value string so the head-8
+    cut is deterministic."""
+    from pyspark.sql.types import ArrayType
+
+    hw_type = dict(zip(edges.columns, [f.dataType for f in edges.schema.fields]))
+    hw = F.col("highway")
+    if isinstance(hw_type.get("highway"), ArrayType):
+        base = edges.select(F.explode(hw).alias("highway"))
+    else:
+        base = edges.select(hw.cast("string").alias("highway"))
+    return (
+        base.groupBy("highway")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "highway")
+        .limit(top)
+    )
+
+
+def summarize_graph_validation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    close_threshold: float = 0.5,
+    u: str = "u",
+    v: str = "v",
+    precision: int = 7,
+) -> dict:
+    """Graph-level validation summary (reference graph.py:532-560
+    summarize_graph_validation, merged with summarize_edge_quality —
+    A13 in full): counts, self-loops split protected/unprotected,
+    isolates, weak connectivity, duplicate-coordinate groups,
+    close-node pairs with top-5 examples, top-8 highway histogram, and
+    the one-row edge-quality bundle.  Driver-side dict by contract
+    (it's a SUMMARY — every number is one aggregate over distributed
+    frames; only ≤5-row example lists collect)."""
+    from osm_chordify_spark.operators import graph as GR
+
+    loop = F.col(u) == F.col(v)
+    prot = protected_edge_expr(edges)
+    ea = edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.when(loop, 1).otherwise(0)).alias("self_loops"),
+        F.sum(F.when(loop & prot, 1).otherwise(0)).alias("prot_loops"),
+        F.sum(F.when(loop & ~prot, 1).otherwise(0)).alias("unprot_loops"),
+    ).first()
+    n_nodes = nodes.count()
+    used = (
+        edges.select(F.col(u).alias("node_id"))
+        .unionByName(edges.select(F.col(v).alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    isolates = nodes.join(used, "node_id", "left_anti").count()
+    nonloop = edges.filter(~loop)
+    if nonloop.isEmpty():
+        ncomp = used.count()  # every used node is a self-loop island
+    else:
+        comp = GR.connected_components(
+            nonloop.select(F.col(u).alias("src"), F.col(v).alias("dst"))
+        ).localCheckpoint(eager=True)
+        in_nonloop = comp.select(F.col("id").alias("node_id")).distinct()
+        loop_only = used.join(in_nonloop, "node_id", "left_anti").count()
+        ncomp = comp.select("component").distinct().count() + loop_only
+    weakly_connected = bool(n_nodes > 0 and isolates == 0 and ncomp == 1)
+
+    dup = duplicate_coords_at_precision(nodes, precision=precision)
+    dup = dup.localCheckpoint(eager=True)
+    dup_n = dup.count()
+    dup_ex = [
+        (r["rx"], r["ry"], list(r["node_ids"]))
+        for r in dup.orderBy("rx", "ry").limit(5).collect()
+    ]
+    close = close_node_pairs(nodes, close_threshold).localCheckpoint(eager=True)
+    close_n = close.count()
+    close_ex = [
+        (r["node_id"], r["nid2"], r["dist"])
+        for r in close.orderBy("node_id", "nid2").limit(5).collect()
+    ]
+    hw = {
+        r["highway"]: r["n"] for r in highway_type_counts(edges).collect()
+    }
+    quality = edge_quality_summary(edges).first().asDict()
+    quality.pop("n_edges", None)
+    return {
+        "nodes": int(n_nodes),
+        "edges": int(ea["n_edges"]),
+        "self_loops": int(ea["self_loops"]),
+        "protected_self_loops": int(ea["prot_loops"]),
+        "unprotected_self_loops": int(ea["unprot_loops"]),
+        "isolated_nodes": int(isolates),
+        "weakly_connected": weakly_connected,
+        "duplicate_coordinate_groups": int(dup_n),
+        "close_node_pairs": int(close_n),
+        "duplicate_examples": dup_ex,
+        "close_examples": close_ex,
+        "highway_type_counts": hw,
+        **quality,
+    }

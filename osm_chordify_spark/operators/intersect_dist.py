@@ -747,11 +747,15 @@ def nearest_zone_dist(
     res_list = _zone_res_list(zcells, "__cell") or [index_res]
 
     px, py = point_xy
-    pbase = points.select(
-        F.col(point_id).alias("__pid"),
+    # internal ordinal point id (frozen): the search state schemas are
+    # long-typed, and user ids may be strings — mapped back at the end
+    psrc = points.select(
+        F.monotonically_increasing_id().alias("__pid"),
+        F.col(point_id).alias("__pname"),
         F.col(px).alias("__px"),
         F.col(py).alias("__py"),
     ).localCheckpoint(eager=True)
+    pbase = psrc.select("__pid", "__px", "__py")
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         polys = G.geometry_polygons(bytes(pdf["__zgeom"].iloc[0]))
@@ -819,7 +823,11 @@ def nearest_zone_dist(
             # tie-break on the USER-VISIBLE zone id (lexicographic), not
             # the partition-dependent internal __zid — overlapping /
             # equidistant zones must resolve identically run-to-run and
-            # across paths
+            # across paths.
+            # ranked is checkpointed ONCE per round: done / still / best
+            # are then lazy filters over its blocks — the old per-branch
+            # eager checkpoints re-ran the whole scoring lineage
+            # (grouped-map included) 2-3× per round
             ranked = (
                 allc.join(zindexed.select("__zid", "__zname"), "__zid")
                 .groupBy("__pid")
@@ -827,19 +835,17 @@ def nearest_zone_dist(
                 .select("__pid", F.col("__b.__zid").alias("__zid"),
                         F.col("__b.__dist").alias("__dist"))
                 .join(unresolved, "__pid")
+                .localCheckpoint(eager=True)
             )
             bound = max(r - 1, 0) * cell_min
             done = ranked.filter(F.col("__dist") <= bound).select(
                 "__pid", "__zid", "__dist"
-            ).localCheckpoint(eager=True)
+            )
             finished.append(done)
             still = ranked.filter(F.col("__dist") > bound)
             if r >= max_ring:
                 # give up on the bound: best seen wins (documented cap)
-                finished.append(
-                    still.select("__pid", "__zid", "__dist")
-                    .localCheckpoint(eager=True)
-                )
+                finished.append(still.select("__pid", "__zid", "__dist"))
                 break
             # a point stays unresolved until RESOLVED — including points
             # whose annuli so far found no candidate at all (not ranked)
@@ -848,9 +854,7 @@ def nearest_zone_dist(
             ).localCheckpoint(eager=True)
             if nxt_unres.isEmpty():
                 break
-            best = still.select("__pid", "__zid", "__dist").localCheckpoint(
-                eager=True
-            )
+            best = still.select("__pid", "__zid", "__dist")
             unresolved = nxt_unres
             r_prev, r = r, min(r * 2, max_ring)
 
@@ -874,8 +878,9 @@ def nearest_zone_dist(
         )
     return (
         out.join(zindexed.select("__zid", "__zname"), "__zid")
+        .join(psrc.select("__pid", "__pname"), "__pid")
         .select(
-            F.col("__pid").alias(point_id),
+            F.col("__pname").alias(point_id),
             F.col("__zname").alias(zone_id_col),
             F.col("__dist").alias("dist"),
         )

@@ -1454,6 +1454,130 @@ def media_png_decode(spark, sf_dir):
     )
 
 
+_VALIDATION_TABLES_SQL = """
+with nodes as (
+  select c_custkey as node_id,
+         ((c_custkey * 3) % 1000) / 1e1 as x,
+         ((c_custkey * 7) % 1000) / 1e1 as y
+  from customer
+), edges as (
+  select ((p_partkey * 3) % 1500) + 1 as u,
+         ((p_partkey * 5) % 1500) + 1 as v,
+         case when p_partkey % 13 = 0 then null
+              else ((p_partkey * 101) % 200000) / 1e1 end as length,
+         case (p_partkey % 7) when 0 then 'residential' when 1 then 'motorway'
+              when 2 then 'secondary' when 3 then 'primary' when 4 then 'service'
+              when 5 then 'tertiary' else 'trunk' end as highway,
+         case when p_partkey % 11 = 0 then 'yes'
+              else cast(null as varchar) end as bridge,
+         case (p_partkey % 4) when 0 then 'yes' when 1 then 'no'
+              when 2 then '-1' else 'maybe' end as oneway,
+         case when p_partkey % 17 = 0 then null
+              else ((p_partkey * 13) % 120) + 5e0 end as speed_kph
+  from part
+)
+"""
+
+
+@register(
+    "graph_validation_summary",
+    oracle=_VALIDATION_TABLES_SQL
+    + """
+, prot as (
+  select *,
+         (highway in ('motorway','motorway_link','trunk','trunk_link',
+                      'primary','primary_link')
+          or coalesce(lower(trim(bridge)) in ('yes','true','1'), false))
+         as protected
+  from edges
+)
+select metric, cast(value as double) as value from (
+  select 'nodes' as metric, count(*) as value from nodes
+  union all select 'edges', count(*) from edges
+  union all select 'self_loops',
+    coalesce(sum(case when u = v then 1 else 0 end), 0) from edges
+  union all select 'protected_self_loops',
+    coalesce(sum(case when u = v and protected then 1 else 0 end), 0) from prot
+  union all select 'unprotected_self_loops',
+    coalesce(sum(case when u = v and not protected then 1 else 0 end), 0) from prot
+  union all select 'isolated_nodes', count(*) from nodes
+    where node_id not in (select u from edges union select v from edges)
+  union all select 'duplicate_coordinate_groups', count(*) from (
+    select round(x, 7), round(y, 7) from nodes group by 1, 2 having count(*) > 1)
+  union all select 'close_node_pairs', count(*) from nodes a
+    join nodes b on a.x = b.x and a.y = b.y and a.node_id < b.node_id
+  union all select 'missing_length',
+    sum(case when length is null then 1 else 0 end) from edges
+  union all select 'nonpositive_length',
+    sum(case when length <= 0 then 1 else 0 end) from edges
+  union all select 'short_links',
+    sum(case when length < 15e0 then 1 else 0 end) from edges
+  union all select 'long_links',
+    sum(case when length > 1e4 then 1 else 0 end) from edges
+  union all select 'invalid_oneway',
+    sum(case when oneway not in ('yes','no','-1') then 1 else 0 end) from edges
+  union all select 'speed_min', min(speed_kph) from edges
+  union all select 'speed_max', max(speed_kph) from edges
+  union all select 'highway:' || highway, count(*) from edges group by 1
+) t
+""",
+)
+def graph_validation_summary(spark, sf_dir):
+    """A13 in FULL: the reference's graph-validation summary
+    (graph.py:532-560 merged with summarize_edge_quality) as one
+    operator — self-loops split by the protected-edge rule, isolates,
+    duplicate-coordinate groups, close-node pairs, top-8 highway
+    histogram, edge-quality counters — emitted long-format
+    (metric, value) so every number sits under the oracle hash.  Weak
+    connectivity (iterative CC, not SQL-expressible) is exercised by
+    pytest instead."""
+    from osm_chordify_spark.operators import diagnostics as _DG
+
+    cust = _t(spark, sf_dir, "customer")
+    nodes = cust.select(
+        F.col("c_custkey").alias("node_id"),
+        F.expr("((c_custkey * 3) % 1000) / 1e1").alias("x"),
+        F.expr("((c_custkey * 7) % 1000) / 1e1").alias("y"),
+    )
+    part = _t(spark, sf_dir, "part")
+    edges = part.select(
+        F.expr("((p_partkey * 3) % 1500) + 1").alias("u"),
+        F.expr("((p_partkey * 5) % 1500) + 1").alias("v"),
+        F.expr(
+            "case when p_partkey % 13 = 0 then null "
+            "else ((p_partkey * 101) % 200000) / 1e1 end"
+        ).alias("length"),
+        F.expr(
+            "case (p_partkey % 7) when 0 then 'residential' when 1 then 'motorway' "
+            "when 2 then 'secondary' when 3 then 'primary' when 4 then 'service' "
+            "when 5 then 'tertiary' else 'trunk' end"
+        ).alias("highway"),
+        F.expr(
+            "case when p_partkey % 11 = 0 then 'yes' "
+            "else cast(null as string) end"
+        ).alias("bridge"),
+        F.expr(
+            "case (p_partkey % 4) when 0 then 'yes' when 1 then 'no' "
+            "when 2 then '-1' else 'maybe' end"
+        ).alias("oneway"),
+        F.expr(
+            "case when p_partkey % 17 = 0 then null "
+            "else ((p_partkey * 13) % 120) + 5e0 end"
+        ).alias("speed_kph"),
+    )
+    s = _DG.summarize_graph_validation(nodes, edges, close_threshold=0.05)
+    scalar_keys = [
+        "nodes", "edges", "self_loops", "protected_self_loops",
+        "unprotected_self_loops", "isolated_nodes",
+        "duplicate_coordinate_groups", "close_node_pairs",
+        "missing_length", "nonpositive_length", "short_links",
+        "long_links", "invalid_oneway", "speed_min", "speed_max",
+    ]
+    rows = [(k, float(s[k])) for k in scalar_keys]
+    rows += [(f"highway:{k}", float(v)) for k, v in s["highway_type_counts"].items()]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
 @register(
     "orders_status_priority_cube",
     oracle="""
@@ -2185,6 +2309,70 @@ def pages_nearest_zone(spark, sf_dir):
         + F.pow(F.greatest(F.lit(60.0) - F.col("lat"), F.col("lat") - F.lit(80.0), F.lit(0.0)), F.lit(2.0))
     )
     return assigned.filter(F.abs(da - db) > 1e-6).select("url", "zone_id")
+
+
+@register(
+    "pages_nearest_zone_163k_dist",
+    oracle=_PAGES_COORDS_CTE
+    + """
+select url,
+       concat('N', cast(floor((lat - 199995e-4) / 21e-2) as int),
+              '_', cast(floor((lon + 1300005e-4) / 21e-2) as int)) as zone_id
+from coords
+""",
+)
+def pages_nearest_zone_163k_dist(spark, sf_dir):
+    """Nearest-zone assignment at LAKE-SCALE zone count: 572x286 =
+    163,592 grid zones covering the full page extent, through the
+    DISTRIBUTED annulus search (intersect_dist.nearest_zone_dist — no
+    broadcast index, zone covers as a cell table, doubling annuli +
+    exact boundary-distance scoring per zone-bucketed group).  Every
+    point is strictly inside one zone, so the search resolves in round
+    one with the containment bound — the shape of a national
+    point-to-tract assignment.  (The far-outside multi-round search is
+    oracle-checked at pages_nearest_zone and path-parity-tested in
+    pytest; running it against 10⁵ zones at driver-gate scale would
+    spend minutes in sequential annulus rounds by design.)
+    Float-parity: zone boundaries sit on a 0.21-unit lattice anchored
+    at (-130.0005, 19.9995) while page coords are (10k+5.5)/1000
+    offsets from (-130, 20) — 20k+11 is odd and 420m is even, so the
+    exact gap to any boundary is ≥ 5e-4 and double rounding can never
+    flip a containment; the floor oracle is exactly the geometric
+    assignment.  dist is dropped from the output (engine-order sqrt
+    differences), the same contract pages_nearest_zone pins."""
+    from osm_chordify_spark.operators import intersect_dist as _ID
+
+    NGX, NGY, W = 572, 286, 0.21
+    X0, Y0 = -130.0005, 19.9995
+    zsp = spark.range(0, NGX * NGY, 1, 32).select(
+        (F.col("id") % NGX).alias("i"),
+        ((F.col("id") - F.col("id") % NGX) / NGX).cast("long").alias("j"),
+    )
+
+    @F.pandas_udf("binary")
+    def mk_rect(i: pd.Series, j: pd.Series) -> pd.Series:
+        out = []
+        for ii, jj in zip(i, j):
+            x0, y0 = X0 + ii * W, Y0 + jj * W
+            out.append(_G.wkb_polygon(
+                [[[x0, y0], [x0 + W, y0], [x0 + W, y0 + W], [x0, y0 + W]]]
+            ))
+        return pd.Series(out)
+
+    zdf = zsp.select(
+        F.concat(F.lit("N"), F.col("j"), F.lit("_"), F.col("i")).alias("zone_id"),
+        mk_rect("i", "j").alias("geometry"),
+    )
+    pts = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://example.org/page/"), F.col("doc_id")).alias("url"),
+        P.lon_col().alias("x"),
+        P.lat_col().alias("y"),
+    )
+    out = _ID.nearest_zone_dist(
+        pts, zdf, zone_id_col="zone_id", point_id="url",
+        point_xy=("x", "y"), index_res=9, max_ring=32,
+    )
+    return out.select("url", "zone_id")
 
 
 @register(

@@ -414,3 +414,59 @@ def test_chordify_rings_fully_relational_no_python_ordering(spark, monkeypatch):
         lines = G.geometry_lines(bytes(r["geometry"]))
         pts = np.vstack(lines)
         assert tuple(pts[0]) == tuple(pts[-1])  # closed ring walk
+
+
+def test_summarize_graph_validation_connectivity_and_examples(spark):
+    """The non-oracle pieces of the A13 bundle: weak connectivity
+    (iterative CC), the protected self-loop split on array-valued
+    highway + backbone attrs, and the deterministic top-5 example
+    lists (reference graph.py:532-560)."""
+    from osm_chordify_spark.operators.diagnostics import (
+        summarize_graph_validation,
+    )
+
+    nodes = spark.createDataFrame(
+        pd.DataFrame({
+            "node_id": [1, 2, 3, 4, 5, 6],
+            "x": [0.0, 1.0, 2.0, 2.0, 50.0, 60.0],
+            "y": [0.0, 0.0, 0.0, 0.0, 5.0, 6.0],
+        })
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame({
+            "u": [1, 2, 3, 4, 5],
+            "v": [2, 3, 1, 4, 5],
+            "length": [1.0, 1.0, 2.0, 0.5, 0.5],
+            "highway": [["residential"], ["motorway", "service"],
+                        ["service"], ["service"], ["service"]],
+            "layer_role": [None, None, None, "backbone", None],
+        })
+    )
+    s = summarize_graph_validation(nodes, edges, close_threshold=0.5)
+    assert s["nodes"] == 6 and s["edges"] == 5
+    assert s["self_loops"] == 2
+    # node 4's loop is layer_role backbone -> protected; node 5's isn't
+    assert s["protected_self_loops"] == 1
+    assert s["unprotected_self_loops"] == 1
+    assert s["isolated_nodes"] == 1  # node 6
+    # components: {1,2,3} + loop-island {4} + loop-island {5} + isolate
+    assert s["weakly_connected"] is False
+    assert s["duplicate_coordinate_groups"] == 1  # nodes 3 and 4
+    assert s["duplicate_examples"][0][2] == [3, 4]
+    assert s["close_node_pairs"] == 1
+    assert s["close_examples"][0][:2] == (3, 4)
+    # array highway explodes per element
+    assert s["highway_type_counts"]["service"] == 4
+    assert s["highway_type_counts"]["motorway"] == 1
+
+    # fully connected, no anomalies -> weakly_connected True
+    n2 = spark.createDataFrame(
+        pd.DataFrame({"node_id": [1, 2, 3],
+                      "x": [0.0, 1.0, 2.0], "y": [0.0] * 3})
+    )
+    e2 = spark.createDataFrame(
+        pd.DataFrame({"u": [1, 2], "v": [2, 3], "length": [1.0, 1.0],
+                      "highway": ["service", "service"]})
+    )
+    s2 = summarize_graph_validation(n2, e2, close_threshold=0.5)
+    assert s2["weakly_connected"] is True and s2["isolated_nodes"] == 0
