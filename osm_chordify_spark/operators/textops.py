@@ -271,3 +271,57 @@ def canonical_url(url: Column) -> Column:
         path,
         F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
     )
+
+
+def bigram_rarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max: int = 2,
+) -> DataFrame:
+    """Corpus-level bigram rarity profile per document — the
+    language-model-free novelty signal quality pipelines use to find
+    documents full of n-grams the corpus has (almost) never seen
+    (OCR garbage, codes, boilerplate-free spam) or dominated by
+    ultra-common ones.
+
+    Per doc: n_bigrams, n_distinct_bigrams, rare_bigrams (corpus count
+    ≤ ``rare_max``), max_bigram_count.  All counts are exact integers —
+    deliberately no log-prob floats (ln() differs by ULPs between
+    engines, breaking oracle hashing; the integer profile carries the
+    same signal).
+
+    Scale shape: whitespace tokens posexplode once; bigrams come from
+    one (doc, pos) equi-join (no interpreted HOF in the hot path);
+    corpus counts are a two-phase hash agg; the count re-attach is a
+    shuffle join on the bigram string — AQE skew-splits the
+    ultra-common bigrams.  Docs with < 2 tokens have no bigrams and are
+    absent from the output."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), _WS),
+                lambda w: w != "",
+            )
+        ).alias("pos", "w"),
+    )
+    nxt = toks.select(
+        F.col(id_col), (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    big = toks.join(nxt, [id_col, "pos"]).select(
+        id_col, F.concat_ws(" ", "w", "w2").alias("bg")
+    )
+    counts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        big.join(counts, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("bg").alias("n_distinct_bigrams"),
+            F.sum(F.when(F.col("c") <= rare_max, 1).otherwise(0)).alias(
+                "rare_bigrams"
+            ),
+            F.max("c").alias("max_bigram_count"),
+        )
+    )

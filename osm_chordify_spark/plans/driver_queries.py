@@ -881,6 +881,36 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     return _DD.ngram_jaccard_pairs(docs, n=2, threshold=0.15)
 
 
+@register(
+    "bigram_rarity_profile",
+    oracle=r"""
+with w as (
+  select doc_id, regexp_split_to_array(trim(text), '\s+') as arr from documents
+), b as (
+  select doc_id, unnest(list_transform(range(1, greatest(len(arr) - 1, 0) + 1),
+                 i -> arr[i] || ' ' || arr[i + 1])) as bg
+  from w
+), c as (
+  select bg, count(*) as c from b group by bg
+)
+select b.doc_id,
+       count(*) as n_bigrams,
+       count(distinct b.bg) as n_distinct_bigrams,
+       sum(case when c.c <= 2 then 1 else 0 end) as rare_bigrams,
+       max(c.c) as max_bigram_count
+from b join c using (bg) group by b.doc_id
+""",
+)
+def bigram_rarity_profile(spark, sf_dir):
+    """Corpus bigram-rarity quality profile (textops.bigram_rarity):
+    exact integer novelty counters per document — the engine-portable
+    stand-in for n-gram LM scoring (see operator docstring for why no
+    log-prob floats)."""
+    from osm_chordify_spark.operators import textops as _TX
+
+    return _TX.bigram_rarity(_t(spark, sf_dir, "documents"))
+
+
 @register("minhash_lsh_dedup")  # rows-only: banded-LSH candidates are not SQL-expressible
 def minhash_lsh_dedup_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")

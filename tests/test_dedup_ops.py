@@ -354,3 +354,30 @@ def test_canonical_url_edge_cases(spark):
     assert out[3] == "https://example.com/"
     assert out[4] == "http://example.com:8080/keep-port"
     assert out[5] == out[6] == "https://example.com/p?a=1&b=2"
+
+
+def test_bigram_rarity_profile_semantics(spark):
+    """Tiny corpus with known bigram counts: 'a b' appears in all three
+    docs (common), every other bigram once (rare at rare_max=2)."""
+    from osm_chordify_spark.operators.textops import bigram_rarity
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c d",       # bigrams: 'a b', 'b c', 'c d'
+                "a b x",         # 'a b', 'b x'
+                "  a   b  ",     # 'a b' (whitespace runs collapse)
+                "solo",          # <2 tokens -> absent from output
+            ],
+        })
+    )
+    out = bigram_rarity(docs).toPandas().set_index("doc_id").sort_index()
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[1, "n_bigrams"] == 3
+    assert out.loc[1, "n_distinct_bigrams"] == 3
+    # 'a b' has corpus count 3 (> rare_max 2); 'b c' and 'c d' are rare
+    assert out.loc[1, "rare_bigrams"] == 2
+    assert out.loc[1, "max_bigram_count"] == 3
+    assert out.loc[2, "n_bigrams"] == 2 and out.loc[2, "rare_bigrams"] == 1
+    assert out.loc[3, "n_bigrams"] == 1 and out.loc[3, "rare_bigrams"] == 0
