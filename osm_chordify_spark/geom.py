@@ -677,6 +677,14 @@ def wkb_polygon(rings) -> bytes:
     return b"".join(out)
 
 
+def wkb_multipoint(coords) -> bytes:
+    c = np.asarray(coords, dtype=np.float64)
+    out = [struct.pack("<BII", 1, _WKB_MULTIPOINT, len(c))]
+    for x, y in c:
+        out.append(wkb_point(float(x), float(y)))
+    return b"".join(out)
+
+
 def wkb_multilinestring(lines) -> bytes:
     out = [struct.pack("<BII", 1, _WKB_MULTILINESTRING, len(lines))]
     for line in lines:

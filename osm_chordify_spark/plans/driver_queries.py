@@ -506,6 +506,117 @@ def zone_intersect_100k_zones_dist(spark, sf_dir):
 
 
 @register(
+    "shapefile_zone_intersect",
+    oracle="""
+with edges as (
+  select p_partkey as osm_id,
+         ((p_partkey * 7) % 60) / 1e1 as xs,
+         ((p_partkey * 7) % 60) / 1e1 + 4e0 as xe
+  from part
+), tracts as (
+  select n_nationkey as t from nation
+), pairs as (
+  select e.osm_id,
+         'T' || lpad(cast(t.t as varchar), 2, '0') as geoid,
+         greatest(0e0, least(e.xe, (t.t + 1) * 4e-1)
+                  - greatest(e.xs, t.t * 4e-1)) as ov
+  from edges e, tracts t
+)
+select osm_id as edge_osm_id, geoid as zone_GEOID,
+       cast(round(ov, 2) as double) as zone_link_length_m,
+       cast(4e0 as double) as edge_link_length_m,
+       cast(round(round(ov, 2) / 4e0, 4) as double) as zone_edge_proportion
+from pairs where round(ov, 2) > 0
+""",
+)
+def shapefile_zone_intersect(spark, sf_dir):
+    """TIGER-style pipeline with the from-scratch shapefile codec
+    (sources/shapefile.py): 25 tract polygons are WRITTEN as a real
+    .shp/.shx/.dbf (attrs through dBase), read back DISTRIBUTED
+    (executors seek per .shx record), and fed to the distributed
+    zone-intersect — the reference's boundary-file flow
+    (utils/data_collection.py:141-270) minus only the network download,
+    with no GeoPandas anywhere.  Tract ids ride the .dbf, so attribute
+    parsing sits under the oracle hash too."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from osm_chordify_spark.sources import shapefile as _SHP
+
+    keys = [
+        int(r.n_nationkey)
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    ]
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_shp_demo", "tracts")
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    _SHP.save_shapefile(
+        [
+            (
+                {"GEOID": f"T{t:02d}"},
+                [[np.array(
+                    [[t * 0.4, 0.0], [(t + 1) * 0.4, 0.0],
+                     [(t + 1) * 0.4, 10.0], [t * 0.4, 10.0]]
+                )]],
+            )
+            for t in sorted(keys)
+        ],
+        base,
+    )
+    zones = _SHP.read_shapefile(spark, base).select("GEOID", "geometry")
+    edges = _part_edges(spark, sf_dir)
+    out = _I.intersect_lines_with_zones(edges, zones, keep_geometry=False)
+    return out.select(
+        "edge_osm_id",
+        "zone_GEOID",
+        "zone_link_length_m",
+        "edge_link_length_m",
+        "zone_edge_proportion",
+    )
+
+
+@register(
+    "acs_census_load",
+    oracle="""
+select lpad(cast(n_nationkey as varchar), 2, '0') || '001'
+         || lpad(cast(n_nationkey * 7 as varchar), 6, '0') as GEOID,
+       n_name as name,
+       case when n_nationkey = 13 then null
+            else cast(n_nationkey * 1000 + 37 as double) end as population
+from nation
+""",
+)
+def acs_census_load(spark, sf_dir):
+    """The offline ACS flow (sources/census.py): a REST-shape ACS JSON
+    response (header row + data rows, written at runtime from the
+    nation table) loads into the GEOID-keyed population dimension —
+    rename, FIPS concatenation, and numeric coercion (one deliberately
+    non-numeric population → NULL) all under the oracle hash.  The
+    network fetch itself is S10 (out of scope)."""
+    import json
+    import os
+    import tempfile
+
+    from osm_chordify_spark.sources import census as _CEN
+
+    rows = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    payload = [["NAME", "B01003_001E", "state", "county", "tract"]]
+    for r in sorted(rows, key=lambda r: r.n_nationkey):
+        k = int(r.n_nationkey)
+        payload.append([
+            r.n_name,
+            "notanumber" if k == 13 else str(k * 1000 + 37),
+            f"{k:02d}", "001", f"{k * 7:06d}",
+        ])
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_acs_demo.json")
+    with open(path, "w") as fh:
+        json.dump(payload, fh)
+    df = _CEN.load_acs_json(spark, path, geo_level="tract")
+    return df.select("GEOID", "name", "population")
+
+
+@register(
     "zone_intersect_polygons",
     oracle="""
 with subj as (

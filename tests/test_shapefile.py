@@ -1,0 +1,142 @@
+"""From-scratch ESRI shapefile codec (.shp/.shx/.dbf): spec-level byte
+checks, polygon/hole winding regrouping, distributed read, and the
+read→zone-operator pipeline (SURVEY S11/S12 parsing half; reference
+utils/data_collection.py:141-270 reads the same files via GeoPandas)."""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osm_chordify_spark import geom as G
+from osm_chordify_spark.sources import shapefile as SHP
+
+
+def _zone_records():
+    sq = lambda x0, y0, w: np.array(
+        [[x0, y0], [x0 + w, y0], [x0 + w, y0 + w], [x0, y0 + w]]
+    )
+    recs = [
+        ({"GEOID": "A", "POP": 100}, [[sq(0.0, 0.0, 2.0)]]),
+        # polygon with a hole
+        ({"GEOID": "B", "POP": 250}, [[sq(3.0, 0.0, 4.0), sq(4.0, 1.0, 1.0)]]),
+        # multipolygon record (two outers)
+        ({"GEOID": "C", "POP": 7},
+         [[sq(8.0, 0.0, 1.0)], [sq(8.0, 3.0, 1.0)]]),
+    ]
+    return recs
+
+
+def test_shp_header_bytes_match_spec(tmp_path):
+    base = str(tmp_path / "zones")
+    SHP.save_shapefile(_zone_records(), base)
+    buf = open(base + ".shp", "rb").read()
+    assert struct.unpack(">i", buf[0:4])[0] == 9994          # file code BE
+    assert struct.unpack(">i", buf[24:28])[0] * 2 == len(buf)  # length in words
+    assert struct.unpack("<i", buf[28:32])[0] == 1000        # version LE
+    assert struct.unpack("<i", buf[32:36])[0] == 5           # polygon type
+    # first record header: number 1, BE
+    assert struct.unpack(">i", buf[100:104])[0] == 1
+    # .shx indexes every record at its true offset
+    idx = SHP.read_shx(base + ".shx")
+    assert len(idx) == 3
+    for off, ln in idx:
+        rec_words = struct.unpack(">i", buf[off + 4 : off + 8])[0]
+        assert rec_words * 2 == ln
+
+
+def test_roundtrip_geometry_and_attrs(spark, tmp_path):
+    base = str(tmp_path / "zones")
+    recs = _zone_records()
+    SHP.save_shapefile(recs, base)
+    df = SHP.read_shapefile(spark, base).orderBy("__rec").toPandas()
+    assert list(df["GEOID"]) == ["A", "B", "C"]
+    assert list(df["POP"]) == [100.0, 250.0, 7.0]
+    # areas survive the winding/ring regrouping
+    areas = [
+        sum(G.polygon_area(rings) for rings in G.geometry_polygons(bytes(g)))
+        for g in df["geometry"]
+    ]
+    assert areas == [4.0, 15.0, 2.0]  # B: 16 outer - 1 hole
+    # the hole is preserved as an interior ring, not a separate polygon
+    b = G.geometry_polygons(bytes(df["geometry"][1]))
+    assert len(b) == 1 and len(b[0]) == 2
+    c = G.geometry_polygons(bytes(df["geometry"][2]))
+    assert len(c) == 2  # two outers -> multipolygon
+
+
+def test_read_rejects_non_shapefile(tmp_path):
+    p = tmp_path / "bogus.shp"
+    p.write_bytes(b"\x00" * 100)
+    with pytest.raises(ValueError, match="9994"):
+        SHP.read_shx(str(p))
+
+
+def test_shapefile_zones_feed_intersect(spark, tmp_path):
+    """The whole point: TIGER-style shapefile → zone DataFrame →
+    distributed intersect, no GeoPandas anywhere."""
+    from osm_chordify_spark.operators import intersect as I
+
+    base = str(tmp_path / "tracts")
+    SHP.save_shapefile(
+        [
+            ({"GEOID": "T1"}, [[np.array([[0.0, -1.0], [5.0, -1.0],
+                                          [5.0, 1.0], [0.0, 1.0]])]]),
+            ({"GEOID": "T2"}, [[np.array([[5.0, -1.0], [10.0, -1.0],
+                                          [10.0, 1.0], [5.0, 1.0]])]]),
+        ],
+        base,
+    )
+    zones = SHP.read_shapefile(spark, base).select("GEOID", "geometry")
+    edges = spark.createDataFrame(
+        pd.DataFrame({
+            "osm_id": [1],
+            "edge_length": [10.0],
+            "geometry": [G.wkb_linestring([[0.0, 0.0], [10.0, 0.0]])],
+        })
+    )
+    out = I.intersect_lines_with_zones(edges, zones, keep_geometry=False).toPandas()
+    got = dict(zip(out["zone_GEOID"], out["zone_link_length_m"]))
+    assert got == {"T1": 5.0, "T2": 5.0}
+
+
+def test_point_and_polyline_records(spark, tmp_path):
+    """Hand-built .shp/.shx with point + polyline records (types 1/3)
+    exercise the non-polygon branches against spec-packed bytes the
+    writer doesn't produce."""
+    def rec(content):
+        return content
+
+    pt = struct.pack("<i2d", 1, 3.5, 4.5)
+    line_pts = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.0]])
+    pl = struct.pack("<i", 3) + struct.pack("<4d", 0, 0, 2, 1)
+    pl += struct.pack("<2i", 1, 3) + struct.pack("<i", 0)
+    pl += line_pts.astype("<f8").tobytes()
+
+    recs = [pt, pl]
+    shp = bytearray()
+    shx = bytearray()
+    off = 50
+    for i, c in enumerate(recs):
+        words = len(c) // 2
+        shp += struct.pack(">ii", i + 1, words) + c
+        shx += struct.pack(">ii", off, words)
+        off += 4 + words
+
+    def header(words, stype):
+        h = struct.pack(">i", 9994) + b"\x00" * 20 + struct.pack(">i", words)
+        h += struct.pack("<ii", 1000, stype)
+        h += struct.pack("<4d", 0, 0, 4, 5) + struct.pack("<4d", 0, 0, 0, 0)
+        return h
+
+    base = str(tmp_path / "mixed")
+    (tmp_path / "mixed.shp").write_bytes(header(off, 1) + bytes(shp))
+    (tmp_path / "mixed.shx").write_bytes(
+        header(50 + 4 * len(recs), 1) + bytes(shx)
+    )
+    df = SHP.read_shapefile(spark, base).orderBy("__rec").toPandas()
+    k0, d0 = G.parse_wkb(bytes(df["geometry"][0]))
+    assert k0 == "point" and tuple(d0) == (3.5, 4.5)
+    lines = G.geometry_lines(bytes(df["geometry"][1]))
+    assert len(lines) == 1 and np.allclose(lines[0], line_pts)
