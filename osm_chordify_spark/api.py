@@ -287,7 +287,9 @@ def export_network(
     ``osm`` (sources/osm_xml.save_graph_xml), ``pbf``
     (sources/osm_pbf.save_graph_pbf — pure-Python protobuf codec,
     distributed blob encode; the reference shells out to pyosmium,
-    export.py:149-156), ``pkl`` (driver-side, row-guarded)."""
+    export.py:149-156), ``shp`` (sources/shapefile — polyline
+    .shp/.shx/.dbf, edge ids in the dBase table), ``pkl`` (driver-side,
+    row-guarded)."""
     import os
 
     from osm_chordify_spark.sources import export_formats as XF
@@ -311,6 +313,22 @@ def export_network(
         elif fmt == "gpkg":
             p = os.path.join(output_dir, f"{name}.gpkg")
             out[fmt] = XF.save_gpkg(nodes, edges, p)
+        elif fmt == "shp":
+            from osm_chordify_spark.sources import shapefile as SHPF
+
+            p = os.path.join(output_dir, name)
+            id_col = "osmid" if "osmid" in edges.columns else "edge_id"
+            pdf = edges.select(id_col, "geometry").toPandas()
+            SHPF.save_shapefile(
+                [
+                    ({"OSMID": str(r[id_col])},
+                     G.geometry_lines(bytes(r["geometry"])))
+                    for _, r in pdf.iterrows()
+                ],
+                p,
+                shape_type=SHPF.SHAPE_POLYLINE,
+            )
+            out[fmt] = {"shp": p + ".shp", "shx": p + ".shx", "dbf": p + ".dbf"}
         elif fmt == "pkl":
             p = os.path.join(output_dir, f"{name}.pkl")
             out[fmt] = XF.save_pickle(nodes, edges, p)

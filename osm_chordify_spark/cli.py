@@ -108,7 +108,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     b.add_argument("--no-impute-speeds", action="store_true")
     b.add_argument("--formats", default="parquet",
                    help="comma list: parquet,csv,json,osm,pbf,graphml,"
-                   "gpkg,geojson,pkl")
+                   "gpkg,geojson,shp,pkl")
 
     i = sub.add_parser("intersect", help="Intersect a road network with "
                        "polygon zones.")

@@ -248,24 +248,31 @@ def _ring_cw(ring: np.ndarray, cw: bool) -> np.ndarray:
     return closed if is_cw == cw else closed[::-1]
 
 
-def save_shapefile(records, base_path: str, fields: list | None = None):
-    """records: iterable of (attrs dict, geometry) where geometry is
-    WKB bytes or [rings, ...] polygons; writes .shp + .shx + .dbf.
-    ``fields``: [(name, 'C'|'N', length)] — inferred from the first
-    record when omitted."""
+def save_shapefile(records, base_path: str, fields: list | None = None,
+                   shape_type: int = SHAPE_POLYGON):
+    """records: iterable of (attrs dict, geometry); geometry is WKB
+    bytes, or [rings, ...] polygons (shape_type=SHAPE_POLYGON), or
+    [line, ...] arrays (shape_type=SHAPE_POLYLINE).  Writes
+    .shp + .shx + .dbf.  ``fields``: [(name, 'C'|'N', length)] —
+    inferred from the first record when omitted."""
+    if shape_type not in (SHAPE_POLYGON, SHAPE_POLYLINE):
+        raise ValueError("save_shapefile writes polygon or polyline files")
     recs = list(records)
-    geoms = []
-    for _, g in recs:
-        geoms.append(G.geometry_polygons(bytes(g)) if isinstance(
-            g, (bytes, bytearray)) else g)
     shp_records = []
     allx, ally = [], []
-    for polys in geoms:
-        rings = []
-        for poly in polys:
-            rings.append(_ring_cw(poly[0], True))
-            for h in poly[1:]:
-                rings.append(_ring_cw(h, False))
+    for _, g in recs:
+        if shape_type == SHAPE_POLYGON:
+            polys = G.geometry_polygons(bytes(g)) if isinstance(
+                g, (bytes, bytearray)) else g
+            rings = []
+            for poly in polys:
+                rings.append(_ring_cw(poly[0], True))
+                for h in poly[1:]:
+                    rings.append(_ring_cw(h, False))
+        else:
+            lines = G.geometry_lines(bytes(g)) if isinstance(
+                g, (bytes, bytearray)) else g
+            rings = [np.asarray(ln, dtype=np.float64) for ln in lines]
         pts = np.vstack(rings)
         allx.extend([pts[:, 0].min(), pts[:, 0].max()])
         ally.extend([pts[:, 1].min(), pts[:, 1].max()])
@@ -273,7 +280,7 @@ def save_shapefile(records, base_path: str, fields: list | None = None):
         for r in rings:
             parts.append(offs)
             offs += len(r)
-        content = struct.pack("<i", SHAPE_POLYGON)
+        content = struct.pack("<i", shape_type)
         content += struct.pack(
             "<4d", pts[:, 0].min(), pts[:, 1].min(),
             pts[:, 0].max(), pts[:, 1].max(),
@@ -287,7 +294,7 @@ def save_shapefile(records, base_path: str, fields: list | None = None):
 
     def header(total_words: int) -> bytes:
         h = struct.pack(">i", 9994) + b"\x00" * 20 + struct.pack(">i", total_words)
-        h += struct.pack("<ii", 1000, SHAPE_POLYGON)
+        h += struct.pack("<ii", 1000, shape_type)
         h += struct.pack("<4d", *bbox)
         h += struct.pack("<4d", 0, 0, 0, 0)
         return h
@@ -339,3 +346,30 @@ def save_shapefile(records, base_path: str, fields: list | None = None):
                 )
     with open(base_path + ".dbf", "wb") as fh:
         fh.write(bytes(hdr) + bytes(body) + b"\x1a")
+
+
+def read_shapefile_zip(spark: SparkSession, zip_path: str,
+                       extract_dir: str | None = None) -> DataFrame:
+    """TIGER/Line-style ZIP → extract the .shp/.shx/.dbf members to a
+    temp dir and read distributed — the reference's flow
+    (data_collection.py:263-271 extracts to a temp dir before
+    gpd.read_file; deflated ZIP members aren't seekable, so per-record
+    executor seeks need the extracted files)."""
+    import os
+    import tempfile
+    import zipfile
+
+    out_dir = extract_dir or tempfile.mkdtemp(prefix="shpzip_")
+    base = None
+    with zipfile.ZipFile(zip_path) as zf:
+        names = [n for n in zf.namelist()
+                 if n.lower().endswith((".shp", ".shx", ".dbf"))]
+        if not any(n.lower().endswith(".shp") for n in names):
+            raise ValueError(f"no .shp member in {zip_path}")
+        for n in names:
+            target = os.path.join(out_dir, os.path.basename(n))
+            with zf.open(n) as src, open(target, "wb") as dst:
+                dst.write(src.read())
+            if n.lower().endswith(".shp"):
+                base = target[:-4]
+    return read_shapefile(spark, base)

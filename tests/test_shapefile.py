@@ -140,3 +140,57 @@ def test_point_and_polyline_records(spark, tmp_path):
     assert k0 == "point" and tuple(d0) == (3.5, 4.5)
     lines = G.geometry_lines(bytes(df["geometry"][1]))
     assert len(lines) == 1 and np.allclose(lines[0], line_pts)
+
+
+def test_polyline_writer_roundtrip_and_zip(spark, tmp_path):
+    """Polyline shapefiles (export_network fmt='shp') roundtrip, and
+    the TIGER-style ZIP entry path extracts + reads them."""
+    import zipfile
+
+    lines = [
+        [np.array([[0.0, 0.0], [1.0, 0.5], [2.0, 0.0]])],
+        [np.array([[5.0, 5.0], [6.0, 6.0]]),
+         np.array([[7.0, 7.0], [8.0, 7.5]])],  # multilinestring record
+    ]
+    base = str(tmp_path / "roads")
+    SHP.save_shapefile(
+        [({"OSMID": "11"}, lines[0]), ({"OSMID": "22"}, lines[1])],
+        base, shape_type=SHP.SHAPE_POLYLINE,
+    )
+    buf = open(base + ".shp", "rb").read()
+    assert struct.unpack("<i", buf[32:36])[0] == 3  # polyline type
+    df = SHP.read_shapefile(spark, base).orderBy("__rec").toPandas()
+    assert list(df["OSMID"]) == ["11", "22"]
+    got0 = G.geometry_lines(bytes(df["geometry"][0]))
+    assert len(got0) == 1 and np.allclose(got0[0], lines[0][0])
+    got1 = G.geometry_lines(bytes(df["geometry"][1]))
+    assert len(got1) == 2 and np.allclose(got1[1], lines[1][1])
+
+    zp = str(tmp_path / "tl_2023_roads.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        for ext in (".shp", ".shx", ".dbf"):
+            zf.write(base + ext, "tl_2023_roads" + ext)
+    dfz = SHP.read_shapefile_zip(spark, zp).orderBy("__rec").toPandas()
+    assert list(dfz["OSMID"]) == ["11", "22"]
+
+
+def test_export_network_shp_format(spark, tmp_path):
+    from osm_chordify_spark import api
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({
+            "osmid": [7, 8],
+            "u": [1, 2], "v": [2, 3],
+            "geometry": [
+                G.wkb_linestring([[0.0, 0.0], [1.0, 0.0]]),
+                G.wkb_linestring([[1.0, 0.0], [2.0, 1.0]]),
+            ],
+        })
+    )
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"node_id": [1, 2, 3],
+                      "x": [0.0, 1.0, 2.0], "y": [0.0, 0.0, 1.0]})
+    )
+    out = api.export_network(nodes, edges, str(tmp_path), formats=("shp",))
+    df = SHP.read_shapefile(spark, out["shp"]["shp"]).orderBy("__rec").toPandas()
+    assert list(df["OSMID"]) == ["7", "8"]
