@@ -101,3 +101,29 @@ def test_cell_compact_all_jvm(spark):
     """compact_cells is pure bit arithmetic + aggregates: no Python."""
     plan = _plan(spark, "cell_compact")
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_rarity_no_cartesian_no_python(spark):
+    """Corpus bigram profile: equi-joins + two-phase aggs only — no
+    cartesian, no Python crossing anywhere (pure codegen tokenize)."""
+    plan = _plan(spark, "bigram_rarity_profile")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine on the corpus counts
+
+
+def test_shapefile_read_is_one_arrow_pass(spark):
+    """Distributed shapefile read: exactly one MapInPandas over the
+    .shx index rows, no driver-side geometry collect in the plan."""
+    plan = _plan(spark, "shapefile_zone_intersect")
+    # the read itself contributes one MapInPandas; the intersect path
+    # adds its own kernels — but no row-at-a-time Python anywhere
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_100k_zone_dist_no_cartesian(spark):
+    plan = _plan(spark, "zone_intersect_100k_zones_dist")
+    assert "CartesianProduct" not in plan
+    assert "REPARTITION_BY_COL" in plan  # zone-bucketed grouped map
