@@ -328,6 +328,23 @@ def _exact_clip_edges_vs_zone(lines_per_edge, zpolys, keep_geometry):
 # -- the line × polygon operator ----------------------------------------------
 
 
+ZONE_BROADCAST_THRESHOLD = 2000
+
+
+def _maybe_collect_zones(zones_df: DataFrame,
+                         threshold: int = ZONE_BROADCAST_THRESHOLD):
+    """DataFrame zone table with ≤ ``threshold`` rows → driver-side
+    ``Zones`` for the broadcast-index path (which beats the cell
+    equi-join by the dist path's fixed job overhead at small zone
+    counts — the same small-input dispatch philosophy as
+    scc/vectorize_regions); larger → None, stay distributed.  One
+    bounded limit-probe collect decides (≤ threshold+1 rows)."""
+    probe = zones_df.limit(threshold + 1).collect()
+    if len(probe) > threshold:
+        return None
+    return Zones.from_records([r.asDict() for r in probe])
+
+
 def intersect_lines_with_zones(
     edges: DataFrame,
     zones: Zones,
@@ -336,6 +353,7 @@ def intersect_lines_with_zones(
     include_void_zones: bool = False,
     index_res: int = 9,
     keep_geometry: bool = True,
+    zone_dispatch: str = "auto",
 ) -> DataFrame:
     """Exact line∩polygon join with proportional length metrics.
 
@@ -344,18 +362,25 @@ def intersect_lines_with_zones(
 
     ``zones`` may be a driver-side ``Zones`` (broadcast cell index — the
     reference's ≤100-zone shape) or a DataFrame with a WKB geometry
-    column, in which case the distributed cell-join path runs instead
-    (same output, hash-verified; see operators.intersect_dist)."""
+    column.  DataFrame dispatch (``zone_dispatch``): ``"auto"`` probes
+    the row count and COLLECTS small tables (≤ ZONE_BROADCAST_THRESHOLD)
+    onto the faster broadcast path — both paths are hash-parity-pinned,
+    so the choice is invisible; ``"dist"`` forces the distributed
+    cell-join path (operators.intersect_dist)."""
     if isinstance(zones, DataFrame):
-        from osm_chordify_spark.operators.intersect_dist import (
-            intersect_lines_with_zones_dist,
-        )
+        small = _maybe_collect_zones(zones) if zone_dispatch == "auto" else None
+        if small is not None:
+            zones = small
+        else:
+            from osm_chordify_spark.operators.intersect_dist import (
+                intersect_lines_with_zones_dist,
+            )
 
-        return intersect_lines_with_zones_dist(
-            edges, zones, zone_label=zone_label,
-            include_void_zones=include_void_zones, index_res=index_res,
-            keep_geometry=keep_geometry,
-        )
+            return intersect_lines_with_zones_dist(
+                edges, zones, zone_label=zone_label,
+                include_void_zones=include_void_zones, index_res=index_res,
+                keep_geometry=keep_geometry,
+            )
     metric_names = line_metric_names(zone_label)
     schema, edge_renames, zone_renames, edge_attr_cols = _result_schema(
         edges.schema, zones, metric_names, zone_label, keep_geometry
@@ -524,6 +549,7 @@ def intersect_polygons_with_zones(
     index_res: int = 9,
     keep_geometry: bool = True,
     cascade: bool = False,
+    zone_dispatch: str = "auto",
 ) -> DataFrame:
     """Polygon-subject variant: area-based proportions
     (reference intersect.py:927-958 road-polygons; :1023-1054 cascade).
@@ -531,17 +557,22 @@ def intersect_polygons_with_zones(
     proportion = overlap_area / subject_area (0 when subject area 0);
     zone length = length_col * proportion; surfaces rounded to 2 dp.
 
-    A DataFrame ``zones`` routes through the distributed cell-join path
-    (operators.intersect_dist) — the non-broadcastable-zones shape."""
+    A DataFrame ``zones`` dispatches like intersect_lines_with_zones:
+    auto-collected onto the broadcast path when small, the distributed
+    cell-join path otherwise (``zone_dispatch="dist"`` forces it)."""
     if isinstance(zones, DataFrame):
-        from osm_chordify_spark.operators.intersect_dist import (
-            intersect_polygons_with_zones_dist,
-        )
+        small = _maybe_collect_zones(zones) if zone_dispatch == "auto" else None
+        if small is not None:
+            zones = small
+        else:
+            from osm_chordify_spark.operators.intersect_dist import (
+                intersect_polygons_with_zones_dist,
+            )
 
-        return intersect_polygons_with_zones_dist(
-            polys, zones, zone_label=zone_label, length_col=length_col,
-            index_res=index_res, keep_geometry=keep_geometry, cascade=cascade,
-        )
+            return intersect_polygons_with_zones_dist(
+                polys, zones, zone_label=zone_label, length_col=length_col,
+                index_res=index_res, keep_geometry=keep_geometry, cascade=cascade,
+            )
     metric_names = (
         cascade_metric_names(zone_label) if cascade else polygon_metric_names(zone_label)
     )
@@ -652,22 +683,28 @@ def spatial_left_join_with_zones(
     zone_label: str | None = None,
     index_res: int = 9,
     geometry_kind: str = "line",
+    zone_dispatch: str = "auto",
 ) -> DataFrame:
     """Left spatial join: every input row kept; zone attrs appended
     (NULL when unmatched); k matching zones ⇒ k rows
     (reference intersect.py:1497-1554).
 
-    A DataFrame ``zones`` routes through the distributed cell-join path
-    (operators.intersect_dist) — the non-broadcastable-zones shape."""
+    A DataFrame ``zones`` dispatches like intersect_lines_with_zones:
+    auto-collected onto the broadcast path when small, the distributed
+    cell-join path otherwise (``zone_dispatch="dist"`` forces it)."""
     if isinstance(zones, DataFrame):
-        from osm_chordify_spark.operators.intersect_dist import (
-            spatial_left_join_with_zones_dist,
-        )
+        small = _maybe_collect_zones(zones) if zone_dispatch == "auto" else None
+        if small is not None:
+            zones = small
+        else:
+            from osm_chordify_spark.operators.intersect_dist import (
+                spatial_left_join_with_zones_dist,
+            )
 
-        return spatial_left_join_with_zones_dist(
-            df, zones, zone_label=zone_label, index_res=index_res,
-            geometry_kind=geometry_kind,
-        )
+            return spatial_left_join_with_zones_dist(
+                df, zones, zone_label=zone_label, index_res=index_res,
+                geometry_kind=geometry_kind,
+            )
     spark = df.sparkSession
     index = zones.index(res=index_res)
     b_index = spark.sparkContext.broadcast(index)

@@ -402,7 +402,9 @@ def zone_intersect_lines_dist(spark, sf_dir):
         for j in range(10)
     ]
     zdf = _ID.zones_to_df(spark, _I.Zones.from_records(grid))
-    out = _I.intersect_lines_with_zones(edges, zdf, keep_geometry=False)
+    out = _I.intersect_lines_with_zones(
+        edges, zdf, keep_geometry=False, zone_dispatch="dist"
+    )
     return out.select(
         "edge_osm_id",
         "zone_zone_id",
@@ -533,8 +535,9 @@ def shapefile_zone_intersect(spark, sf_dir):
     """TIGER-style pipeline with the from-scratch shapefile codec
     (sources/shapefile.py): 25 tract polygons are WRITTEN as a real
     .shp/.shx/.dbf (attrs through dBase), read back DISTRIBUTED
-    (executors seek per .shx record), and fed to the distributed
-    zone-intersect — the reference's boundary-file flow
+    (executors seek per .shx record), and fed to the zone-intersect
+    wrapper (auto-dispatch collects this small table onto the broadcast
+    path) — the reference's boundary-file flow
     (utils/data_collection.py:141-270) minus only the network download,
     with no GeoPandas anywhere.  Tract ids ride the .dbf, so attribute
     parsing sits under the oracle hash too."""
@@ -799,7 +802,7 @@ def spatial_left_join_dist(spark, sf_dir):
         for j in range(10)
     ]
     zdf = _ID.zones_to_df(spark, _I.Zones.from_records(grid))
-    out = _I.spatial_left_join_with_zones(edges, zdf)
+    out = _I.spatial_left_join_with_zones(edges, zdf, zone_dispatch="dist")
     return out.select("osm_id", "zone_zone_id")
 
 

@@ -64,7 +64,7 @@ def test_dist_path_hash_parity_with_broadcast(spark):
         .sort_values(METRIC_COLS).reset_index(drop=True)
     )
     b = (
-        I.intersect_lines_with_zones(edges, zdf)
+        I.intersect_lines_with_zones(edges, zdf, zone_dispatch="dist")
         .select(*METRIC_COLS, "geometry").toPandas()
         .sort_values(METRIC_COLS).reset_index(drop=True)
     )
@@ -83,7 +83,9 @@ def test_dist_contained_fast_path_and_labels(spark):
     big = [{"zone_id": "BIG",
             "geometry": [np.array([[0.0, 0.0], [9.0, 0.0], [9.0, 9.0], [0.0, 9.0]])]}]
     zdf = ID.zones_to_df(spark, I.Zones.from_records(big))
-    out = I.intersect_lines_with_zones(edges, zdf, zone_label="TAZ").toPandas()
+    out = I.intersect_lines_with_zones(
+        edges, zdf, zone_label="TAZ", zone_dispatch="dist"
+    ).toPandas()
     assert len(out) == 1
     assert out.iloc[0]["taz_zone_edge_proportion"] == 1.0
     assert out.iloc[0]["taz_zone_id"] == "BIG"
@@ -105,7 +107,7 @@ def test_dist_void_rows_by_zone_id_not_attrs(spark):
            "geometry": [np.array([[50.0, 50.0], [60.0, 50.0], [60.0, 60.0], [50.0, 60.0]])]}
     zdf = ID.zones_to_df(spark, I.Zones.from_records([matched_twin, void_twin, far]))
     out = I.intersect_lines_with_zones(
-        edges, zdf, include_void_zones=True
+        edges, zdf, include_void_zones=True, zone_dispatch="dist"
     ).toPandas()
     assert "__zid" not in out.columns
     assert "far" not in set(out["zone_zone_id"])
@@ -131,7 +133,7 @@ def test_dist_multipolygon_zone_and_boundary_touch_drop(spark):
         ]),
     }]
     zdf = spark.createDataFrame(pd.DataFrame(two_part))
-    out = I.intersect_lines_with_zones(edges, zdf).toPandas()
+    out = I.intersect_lines_with_zones(edges, zdf, zone_dispatch="dist").toPandas()
     assert set(out["edge_osm_id"]) == {1}
     r = out[out["edge_osm_id"] == 1].iloc[0]
     assert r["zone_link_length_m"] == pytest.approx(3.0)  # 1.5 in each part
@@ -163,7 +165,7 @@ def test_dist_left_join_parity_and_unmatched(spark):
         .select("osm_id", "zone_zone_id").toPandas()
     )
     b = (
-        I.spatial_left_join_with_zones(edges, zdf)  # DataFrame → dist path
+        I.spatial_left_join_with_zones(edges, zdf, zone_dispatch="dist")
         .select("osm_id", "zone_zone_id").toPandas()
     )
     ka = sorted(map(tuple, a.fillna("N").itertuples(index=False)))
@@ -202,7 +204,9 @@ def test_dist_polygon_subjects_parity(spark):
         .select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
     )
     b = (
-        I.intersect_polygons_with_zones(polys, zdf, keep_geometry=False)
+        I.intersect_polygons_with_zones(
+            polys, zdf, keep_geometry=False, zone_dispatch="dist"
+        )
         .select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
     )
     assert len(a) == len(b) > 0
@@ -215,7 +219,9 @@ def test_dist_empty_zone_table_and_no_candidates(spark):
     nothing (and a left join still keeps every row)."""
     edges = _edges(spark, n=20)
     empty_zdf = spark.createDataFrame([], "zone_id string, geometry binary")
-    out = I.intersect_lines_with_zones(edges, empty_zdf, keep_geometry=False)
+    out = I.intersect_lines_with_zones(
+        edges, empty_zdf, keep_geometry=False, zone_dispatch="dist"
+    )
     assert out.count() == 0
     assert "zone_zone_id" in out.columns
     far_zdf = ID.zones_to_df(
@@ -226,8 +232,9 @@ def test_dist_empty_zone_table_and_no_candidates(spark):
                                      [901.0, 901.0], [900.0, 901.0]])]}]
         ),
     )
-    assert I.intersect_lines_with_zones(edges, far_zdf).count() == 0
-    lj = I.spatial_left_join_with_zones(edges, far_zdf)
+    assert I.intersect_lines_with_zones(
+        edges, far_zdf, zone_dispatch="dist").count() == 0
+    lj = I.spatial_left_join_with_zones(edges, far_zdf, zone_dispatch="dist")
     pdf = lj.toPandas()
     assert len(pdf) == 20
     assert pdf["zone_zone_id"].isna().all()
@@ -318,3 +325,36 @@ def test_cogroup_reattach_parity_with_join_on_high_vertex_zone(spark):
     assert all(
         bytes(x) == bytes(y) for x, y in zip(a["geometry"], b["geometry"])
     )
+
+
+def test_auto_dispatch_collects_small_zone_tables(spark, monkeypatch):
+    """A small DataFrame zone table must AUTO-collect onto the
+    broadcast path (dist fixed overhead dominates at few zones);
+    zone_dispatch='dist' still forces the distributed path."""
+    import osm_chordify_spark.operators.intersect_dist as IDm
+
+    edges = _edges(spark, 50)
+    zdf = ID.zones_to_df(spark, I.Zones.from_records(_grid_zones(3)))
+    calls = {"n": 0}
+    real = IDm.intersect_lines_with_zones_dist
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(IDm, "intersect_lines_with_zones_dist", spy)
+    auto = (
+        I.intersect_lines_with_zones(edges, zdf, keep_geometry=False)
+        .select(*METRIC_COLS).toPandas().sort_values(METRIC_COLS)
+        .reset_index(drop=True)
+    )
+    assert calls["n"] == 0  # 9 zones -> broadcast path
+    forced = (
+        I.intersect_lines_with_zones(
+            edges, zdf, keep_geometry=False, zone_dispatch="dist"
+        )
+        .select(*METRIC_COLS).toPandas().sort_values(METRIC_COLS)
+        .reset_index(drop=True)
+    )
+    assert calls["n"] == 1
+    pd.testing.assert_frame_equal(auto, forced)

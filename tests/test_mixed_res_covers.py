@@ -155,7 +155,7 @@ def test_mixed_res_dist_parity_with_broadcast(spark):
         .sort_values(COLS).reset_index(drop=True)
     )
     b = (
-        I.intersect_lines_with_zones(edges, zdf)
+        I.intersect_lines_with_zones(edges, zdf, zone_dispatch="dist")
         .select(*COLS, "geometry").toPandas()
         .sort_values(COLS).reset_index(drop=True)
     )
