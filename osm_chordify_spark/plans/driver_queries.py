@@ -580,6 +580,86 @@ def shapefile_zone_intersect(spark, sf_dir):
 
 
 @register(
+    "zones_overlay_100k_x_100k_dist",
+    oracle="""
+with cells as (
+  select a.i, b.j from generate_series(0, 319) a(i), generate_series(0, 319) b(j)
+), d as (
+  select * from (values (0, 0), (0, 1), (1, 0), (1, 1)) t(di, dj)
+), pairs as (
+  select c.i as bi, c.j as bj, c.i + d.di as ai, c.j + d.dj as aj
+  from cells c cross join d
+  where c.i + d.di < 320 and c.j + d.dj < 320
+), m as (
+  select bi, bj, ai, aj,
+         greatest(0e0, least((ai + 1) * 3125e-3,
+                             bi * 3125e-3 + 78125e-5 + 3125e-3)
+                  - greatest(ai * 3125e-3, bi * 3125e-3 + 78125e-5)) as ox,
+         greatest(0e0, least((aj + 1) * 3125e-3,
+                             bj * 3125e-3 + 78125e-5 + 3125e-3)
+                  - greatest(aj * 3125e-3, bj * 3125e-3 + 78125e-5)) as oy
+  from pairs
+)
+select 'B' || bi || '_' || bj as edge_bid,
+       'A' || ai || '_' || aj as zone_aid,
+       cast(round(3125e-3 * 3125e-3, 2) as double) as edge_surface_m2,
+       cast(round(ox * oy, 2) as double) as zone_surface_m2,
+       cast(round(round(ox * oy, 2) / round(3125e-3 * 3125e-3, 2), 4)
+            as double) as zone_edge_proportion
+from m where round(ox * oy, 2) > 0
+""",
+)
+def zones_overlay_100k_x_100k_dist(spark, sf_dir):
+    """Zones×zones overlay (J4) at LAKE-SCALE on BOTH sides: two
+    102,400-polygon grids (offset by a quarter cell) through the
+    distributed polygon-subject path — neither side broadcasts or
+    collects; candidates come from the cell equi-join of the two cover
+    tables, overlap areas from the exact clip kernel per zone-bucketed
+    group.  Every interior subject overlaps exactly 4 zones with
+    binary-exact areas (grid pitch 3.125 = 2^-5 scaled, offset
+    0.78125 = 2^-7 scaled), so the rounded-area contract is
+    float-parity-exact against the closed-form oracle."""
+    from osm_chordify_spark.operators import intersect_dist as _ID
+
+    NG, W, D = 320, 3.125, 0.78125
+
+    def grid(prefix: str, dx: float, dy: float, id_col: str):
+        zsp = spark.range(0, NG * NG, 1, 32).select(
+            (F.col("id") % NG).alias("i"),
+            ((F.col("id") - F.col("id") % NG) / NG).cast("long").alias("j"),
+        )
+
+        @F.pandas_udf("binary")
+        def mk_rect(i: pd.Series, j: pd.Series) -> pd.Series:
+            out = []
+            for ii, jj in zip(i, j):
+                x0, y0 = ii * W + dx, jj * W + dy
+                out.append(_G.wkb_polygon(
+                    [[[x0, y0], [x0 + W, y0], [x0 + W, y0 + W], [x0, y0 + W]]]
+                ))
+            return pd.Series(out)
+
+        return zsp.select(
+            F.concat(F.lit(prefix), F.col("i"), F.lit("_"), F.col("j")).alias(id_col),
+            mk_rect("i", "j").alias("geometry"),
+        )
+
+    subjects = grid("B", D, D, "bid")
+    zones = grid("A", 0.0, 0.0, "aid")
+    # the grids live on a [0, 1024]² plane (not lon/lat): give the cell
+    # index that world — 1024 = 2^10 keeps every cell boundary
+    # binary-exact
+    out = _ID.intersect_polygons_with_zones_dist(
+        subjects, zones, length_col=None, keep_geometry=False,
+        index_res=9, salt_buckets=1, world=(0.0, 0.0, 1024.0, 1024.0),
+    )
+    return out.select(
+        "edge_bid", "zone_aid", "edge_surface_m2", "zone_surface_m2",
+        "zone_edge_proportion",
+    )
+
+
+@register(
     "acs_census_load",
     oracle="""
 select lpad(cast(n_nationkey as varchar), 2, '0') || '001'
