@@ -214,25 +214,30 @@ def read_shapefile(spark: SparkSession, base_path: str) -> DataFrame:
     def parse(batches):
         shp = open(shp_path, "rb")
         dbf = open(dbf_path, "rb") if have_dbf else None
-        for pdf in batches:
-            recs = []
-            for rec, off, ln in zip(pdf["__rec"], pdf["__off"], pdf["__len"]):
-                shp.seek(int(off) + 8)  # skip the record header
-                _, wkb = _parse_record(shp.read(int(ln)))
-                row = {"__rec": int(rec), "geometry": wkb}
-                if dbf is not None:
-                    dbf.seek(hdr_size + int(rec) * rec_size + 1)  # skip del flag
-                    raw = dbf.read(rec_size - 1)
-                    pos = 0
-                    for name, ftype, flen in fields:
-                        v = _decode_dbf_value(raw[pos : pos + flen], ftype)
-                        if ftype in ("N", "F") and v is not None:
-                            v = float(v)
-                        row[name] = v
-                        pos += flen
-                recs.append(row)
-            cols = ["__rec"] + [f[0] for f in fields] + ["geometry"]
-            yield pd.DataFrame(recs, columns=cols)
+        try:
+            for pdf in batches:
+                recs = []
+                for rec, off, ln in zip(pdf["__rec"], pdf["__off"], pdf["__len"]):
+                    shp.seek(int(off) + 8)  # skip the record header
+                    _, wkb = _parse_record(shp.read(int(ln)))
+                    row = {"__rec": int(rec), "geometry": wkb}
+                    if dbf is not None:
+                        dbf.seek(hdr_size + int(rec) * rec_size + 1)  # del flag
+                        raw = dbf.read(rec_size - 1)
+                        pos = 0
+                        for name, ftype, flen in fields:
+                            v = _decode_dbf_value(raw[pos : pos + flen], ftype)
+                            if ftype in ("N", "F") and v is not None:
+                                v = float(v)
+                            row[name] = v
+                            pos += flen
+                    recs.append(row)
+                cols = ["__rec"] + [f[0] for f in fields] + ["geometry"]
+                yield pd.DataFrame(recs, columns=cols)
+        finally:
+            shp.close()
+            if dbf is not None:
+                dbf.close()
 
     return idx_df.mapInPandas(parse, schema=out_schema)
 
