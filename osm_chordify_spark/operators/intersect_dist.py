@@ -834,7 +834,10 @@ def nearest_zone_dist(
                 .agg(F.min(F.struct("__dist", "__zname", "__zid")).alias("__b"))
                 .select("__pid", F.col("__b.__zid").alias("__zid"),
                         F.col("__b.__dist").alias("__dist"))
-                .join(unresolved, "__pid")
+                # no join back to `unresolved`: scored derives from its
+                # probe and `best` carries only still-unresolved points,
+                # so ranked is already restricted — the old join only
+                # re-attached coordinate columns nothing below reads
                 .localCheckpoint(eager=True)
             )
             bound = max(r - 1, 0) * cell_min
