@@ -660,6 +660,54 @@ def zones_overlay_100k_x_100k_dist(spark, sf_dir):
 
 
 @register(
+    "warc_crawl_extract",
+    oracle="""
+select 'https://example.org/page/' || doc_id as url,
+       200 as http_status,
+       text
+from documents
+""",
+)
+def warc_crawl_extract(spark, sf_dir):
+    """Common-Crawl-style ingestion with the from-scratch WARC codec
+    (sources/warc.py): every document is WRITTEN as a WARC response
+    record (HTTP envelope included, per-record gzip members — the
+    splittable crawl layout), read back DISTRIBUTED (driver walks only
+    member boundaries; executors decompress + unwrap their own
+    records), and the extracted page text must hash-match the source
+    table — the front door of the LLM-data pipeline the dedup/quality
+    operators consume."""
+    import os
+    import tempfile
+
+    from osm_chordify_spark.sources import warc as _W
+
+    rows = _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_crawl.warc.gz")
+    _W.write_warc(
+        (
+            {
+                "warc_type": "response",
+                "warc_target_uri": f"https://example.org/page/{r.doc_id}",
+                "warc_record_id": str(r.doc_id),
+                "http_status": 200,
+                "http_content_type": "text/plain; charset=utf-8",
+                "payload": r.text.encode("utf-8"),
+            }
+            for r in sorted(rows, key=lambda r: r.doc_id)
+        ),
+        path,
+        gzip_members=True,
+    )
+    df = _W.read_warc_gz(spark, path)
+    return df.filter(F.col("warc_type") == "response").select(
+        F.col("warc_target_uri").alias("url"),
+        "http_status",
+        F.col("payload").cast("string").alias("text"),
+    )
+
+
+@register(
     "acs_census_load",
     oracle="""
 select lpad(cast(n_nationkey as varchar), 2, '0') || '001'
