@@ -310,3 +310,27 @@ def pages_pipeline(spark: SparkSession, sf_dir: str, how: str = "inner") -> Data
         how=how,
     )
     return assigned
+
+
+def pages_from_warc(spark: SparkSession, warc_path: str) -> DataFrame:
+    """Crawl front door: a WARC archive (plain or per-record-gzip) →
+    the pages-table shape the flagship pipeline consumes
+    (url, warc_ts, html) — successful HTML responses only.  Chain with
+    with_extracted_text_arrow / with_geo_anchors / with_cells /
+    pip_assign_arrow exactly like synthesized pages."""
+    from osm_chordify_spark.sources import warc as _W
+
+    reader = _W.read_warc_gz if warc_path.endswith(".gz") else _W.read_warc
+    recs = reader(spark, warc_path)
+    return (
+        recs.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+        )
+        .select(
+            F.col("warc_target_uri").alias("url"),
+            F.col("warc_date").alias("warc_ts"),
+            F.col("payload").alias("html"),
+        )
+    )

@@ -71,3 +71,35 @@ def test_malformed_raises(tmp_path):
         from osm_chordify_spark.session import get_spark
 
         W.read_warc_gz(get_spark(), str(p3))
+
+
+def test_pages_from_warc_feeds_flagship(spark, tmp_path):
+    """WARC archive → pages shape → the real extract/anchor/tile/PIP
+    chain: the crawl front door composes with the flagship pipeline."""
+    from osm_chordify_spark.operators import pages as P
+
+    html = (
+        P._HTML_PRE + "37.5;-122.1" + P._HTML_MID + "hello crawl"
+        + P._HTML_POST
+    ).encode("utf-8")
+    path = str(tmp_path / "crawl.warc.gz")
+    W.write_warc(
+        [
+            {"warc_type": "response", "warc_target_uri": "https://ex.com/a",
+             "warc_date": "2026-01-02T03:04:05Z", "http_status": 200,
+             "http_content_type": "text/html; charset=utf-8",
+             "payload": html},
+            {"warc_type": "response", "warc_target_uri": "https://ex.com/b",
+             "http_status": 404, "payload": b"gone"},
+            {"warc_type": "resource", "warc_target_uri": "https://ex.com/i",
+             "content_type": "image/png", "payload": b"x"},
+        ],
+        path, gzip_members=True,
+    )
+    pages = P.pages_from_warc(spark, path)
+    out = P.with_cells(P.with_geo_anchors(P.with_extracted_text_arrow(pages)))
+    pdf = out.toPandas()
+    assert list(pdf["url"]) == ["https://ex.com/a"]  # 404 + image filtered
+    assert pdf["extracted_text"][0] == "hello crawl"
+    assert pdf["lat"][0] == 37.5 and pdf["lon"][0] == -122.1
+    assert pdf["cell_r7"].notna().all()
