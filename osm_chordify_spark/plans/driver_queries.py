@@ -1138,7 +1138,7 @@ with w as (
 select b.doc_id,
        count(*) as n_bigrams,
        count(distinct b.bg) as n_distinct_bigrams,
-       sum(case when c.c <= 2 then 1 else 0 end) as rare_bigrams,
+       cast(sum(case when c.c <= 2 then 1 else 0 end) as bigint) as rare_bigrams,
        max(c.c) as max_bigram_count
 from b join c using (bg) group by b.doc_id
 """,

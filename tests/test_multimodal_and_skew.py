@@ -1,5 +1,6 @@
 """Multimodal plumbing + skew-salting tests."""
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -187,3 +188,55 @@ def test_split_hot_cells(spark):
     out = SK.split_hot_cells(df, "cell", hot_threshold=100, finer_res_col=F.col("finer"))
     counts = out.groupBy("cell").count().toPandas()
     assert counts["count"].max() <= 100  # hot cell 1 dissolved into finer cells
+
+
+def test_png_corrupt_stdlib_errors_become_valueerror(spark):
+    """ADVICE r4: corrupt IDAT (zlib.error) and truncated chunks
+    (struct.error) must surface as ValueError so one malformed crawl
+    payload yields a null row instead of crashing the job."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from osm_chordify_spark.functions import png
+
+    a = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    good = png.encode_png(a)
+
+    # Corrupt the IDAT *body* but recompute the CRC: passes the CRC
+    # check, then zlib.decompress blows up -> must be ValueError.
+    idat_at = good.index(b"IDAT") - 4
+    (idat_len,) = struct.unpack(">I", good[idat_at : idat_at + 4])
+    garbage = b"\x00" * idat_len
+    rebuilt = (
+        good[:idat_at]
+        + struct.pack(">I", idat_len)
+        + b"IDAT"
+        + garbage
+        + struct.pack(">I", zlib.crc32(b"IDAT" + garbage) & 0xFFFFFFFF)
+        + good[idat_at + 12 + idat_len :]
+    )
+    with _pt.raises(ValueError, match="corrupt PNG stream"):
+        png.decode_png(rebuilt)
+
+    # Truncate mid-IDAT-CRC: the 4-byte CRC slice comes back short, so
+    # struct.unpack raises struct.error -> must be wrapped ValueError.
+    truncated = good[: idat_at + 12 + idat_len - 2]
+    with _pt.raises(ValueError):
+        png.decode_png(truncated)
+
+    # Operator layer: both payloads land as null rows, job survives.
+    rows = [("ok", bytearray(good)), ("bad_idat", bytearray(rebuilt)),
+            ("trunc", bytearray(truncated))]
+    df = spark.createDataFrame(rows, "doc_id string, media binary")
+    out = (
+        MM.decode_image_stub(df, real_decode=True)
+        .select("doc_id", "decoded.*")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc["ok", "width"] == 4
+    assert pd.isna(out.loc["bad_idat", "width"])
+    assert pd.isna(out.loc["trunc", "width"])
