@@ -320,8 +320,14 @@ def pages_from_warc(spark: SparkSession, warc_path: str) -> DataFrame:
     pip_assign_arrow exactly like synthesized pages."""
     from osm_chordify_spark.sources import warc as _W
 
-    reader = _W.read_warc_gz if warc_path.endswith(".gz") else _W.read_warc
-    recs = reader(spark, warc_path)
+    if isinstance(warc_path, (list, tuple)):
+        recs = _W.read_warc_many(spark, warc_path)
+    elif any(c in warc_path for c in "*?[") or __import__("os").path.isdir(warc_path):
+        recs = _W.read_warc_many(spark, warc_path)
+    elif warc_path.endswith(".gz"):
+        recs = _W.read_warc_gz(spark, warc_path)
+    else:
+        recs = _W.read_warc(spark, warc_path)
     return (
         recs.filter(
             (F.col("warc_type") == "response")

@@ -378,3 +378,185 @@ def read_shapefile_zip(spark: SparkSession, zip_path: str,
             if n.lower().endswith(".shp"):
                 base = target[:-4]
     return read_shapefile(spark, base)
+
+
+# ---------------------------------------------------------------------------
+# multi-file distributed ingestion (TIGER is one ZIP per state/county)
+
+
+def _dbf_fields_from_bytes(head: bytes) -> tuple[int, int, int, list]:
+    """read_dbf_header over an in-memory prefix (ZIP member peek)."""
+    n_rec, hdr_size, rec_size = struct.unpack("<IHH", head[4:12])
+    fields = []
+    pos = 32
+    while pos + 32 <= len(head) and head[pos] != 0x0D:
+        fd = head[pos : pos + 32]
+        name = fd[0:11].split(b"\x00")[0].decode("ascii", "replace")
+        fields.append((name, chr(fd[11]), fd[16]))
+        pos += 32
+        if pos >= hdr_size:
+            break
+    return n_rec, hdr_size, rec_size, fields
+
+
+def _peek_dbf_fields(path: str) -> list:
+    """Field layout of one file's .dbf — driver-side schema probe, reads
+    only the dbf header (≤ a few KB) whether plain base path or ZIP."""
+    import zipfile
+
+    if path.lower().endswith(".zip"):
+        with zipfile.ZipFile(path) as zf:
+            dbfs = [n for n in zf.namelist() if n.lower().endswith(".dbf")]
+            if not dbfs:
+                return []
+            with zf.open(dbfs[0]) as fh:
+                head = fh.read(32)
+                hdr_size = struct.unpack("<H", head[8:10])[0]
+                head += fh.read(hdr_size - 32)
+            return _dbf_fields_from_bytes(head)[3]
+    base = path[:-4] if path.lower().endswith(".shp") else path
+    import os
+
+    if not os.path.exists(base + ".dbf"):
+        return []
+    return read_dbf_header(base + ".dbf")[3]
+
+
+def expand_shapefile_paths(paths) -> list:
+    """Glob / directory / explicit list → sorted file list of .zip or
+    .shp paths.  Driver-side cost is file names only."""
+    import glob as _glob
+    import os
+
+    if isinstance(paths, (list, tuple)):
+        out = [str(p) for p in paths]
+    elif os.path.isdir(paths):
+        out = [
+            os.path.join(paths, f)
+            for f in os.listdir(paths)
+            if f.lower().endswith((".zip", ".shp"))
+        ]
+    else:
+        out = _glob.glob(paths)
+    if not out:
+        raise ValueError(f"no shapefiles matched {paths!r}")
+    return sorted(out)
+
+
+def read_shapefile_many(
+    spark: SparkSession, paths, *, batch_records: int = 2048
+) -> DataFrame:
+    """Distributed ingestion over MANY shapefiles/ZIPs — the TIGER
+    shape (one ZIP per state or county, ~3k county files nationally).
+    The driver expands the glob/dir/list and peeks ONE .dbf header for
+    the schema; executors get the FILE LIST and do everything else
+    (ZIP extraction to executor-local temp, .shp record walk, .dbf
+    attribute decode) inside one mapInPandas.  All files must share
+    the .dbf layout (true for a TIGER layer).
+
+    Output adds ``shp_file`` (source basename) and numbers ``__rec``
+    within each file.  Parallelism = one task per file."""
+    import os
+
+    files = expand_shapefile_paths(paths)
+    fields = _peek_dbf_fields(files[0])
+    field_schema = ", ".join(
+        f"`{name}` " + ("double" if ftype in ("N", "F") else
+                        "boolean" if ftype == "L" else "string")
+        for name, ftype, _ in fields
+    )
+    out_schema = ("shp_file string, __rec long"
+                  + (", " + field_schema if fields else "")
+                  + ", geometry binary")
+    cols = ["shp_file", "__rec"] + [f[0] for f in fields] + ["geometry"]
+
+    idx_df = spark.createDataFrame(
+        pd.DataFrame({"path": files})
+    ).repartition(min(len(files), 4096))
+
+    def parse(batches):
+        import shutil
+        import tempfile
+        import zipfile
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                base_name = os.path.basename(path)
+                tmp = None
+                if path.lower().endswith(".zip"):
+                    tmp = tempfile.mkdtemp(prefix="shpmany_")
+                    with zipfile.ZipFile(path) as zf:
+                        shp_base = None
+                        for n in zf.namelist():
+                            if n.lower().endswith((".shp", ".shx", ".dbf")):
+                                tgt = os.path.join(tmp, os.path.basename(n))
+                                with zf.open(n) as src, open(tgt, "wb") as dst:
+                                    shutil.copyfileobj(src, dst)
+                                if n.lower().endswith(".shp"):
+                                    shp_base = tgt[:-4]
+                    if shp_base is None:
+                        raise ValueError(f"no .shp member in {path}")
+                    base = shp_base
+                else:
+                    base = path[:-4] if path.lower().endswith(".shp") else path
+                try:
+                    recs = []
+                    for row in _iter_shp_rows(base, fields):
+                        row["shp_file"] = base_name
+                        recs.append(row)
+                        if len(recs) >= batch_records:
+                            yield pd.DataFrame(recs, columns=cols)
+                            recs = []
+                    if recs:
+                        yield pd.DataFrame(recs, columns=cols)
+                finally:
+                    if tmp is not None:
+                        shutil.rmtree(tmp, ignore_errors=True)
+
+    return idx_df.mapInPandas(parse, schema=out_schema)
+
+
+def _iter_shp_rows(base: str, fields: list):
+    """Executor-side sequential walk of one shapefile: record headers
+    are self-describing (big-endian content length), so no .shx needed;
+    .dbf rows are fixed-size and read in lockstep."""
+    import os
+
+    shp_path, dbf_path = base + ".shp", base + ".dbf"
+    have_dbf = fields and os.path.exists(dbf_path)
+    if have_dbf:
+        _, hdr_size, rec_size, file_fields = read_dbf_header(dbf_path)
+        if [f[:2] for f in file_fields] != [f[:2] for f in fields]:
+            raise ValueError(
+                f"{dbf_path} field layout differs from the probe file: "
+                f"{file_fields} vs {fields}"
+            )
+    with open(shp_path, "rb") as shp, (
+        open(dbf_path, "rb") if have_dbf else open(os.devnull, "rb")
+    ) as dbf:
+        head = shp.read(100)
+        info = _read_main_header(head)
+        total = info["file_words"] * 2
+        rec_no = 0
+        pos = 100
+        while pos + 8 <= total:
+            hdr = shp.read(8)
+            if len(hdr) < 8:
+                break
+            _, len_w = struct.unpack(">ii", hdr)
+            content = shp.read(len_w * 2)
+            _, wkb = _parse_record(content)
+            row = {"__rec": rec_no, "geometry": wkb}
+            if have_dbf:
+                dbf.seek(hdr_size + rec_no * rec_size + 1)
+                raw = dbf.read(rec_size - 1)
+                fpos = 0
+                for name, ftype, flen in fields:
+                    v = _decode_dbf_value(raw[fpos : fpos + flen], ftype)
+                    if ftype in ("N", "F") and v is not None:
+                        v = float(v)
+                    row[name] = v
+                    fpos += flen
+            yield row
+            rec_no += 1
+            pos += 8 + len_w * 2

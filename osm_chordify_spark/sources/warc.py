@@ -26,6 +26,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 _CRLF = b"\r\n"
 
+# RFC 9110 reason phrases for the statuses a crawl actually meets;
+# unknown statuses get an empty reason ("HTTP/1.1 418" — legal, the
+# reason phrase is optional and parsers key on the code).
+_REASON_PHRASES = {
+    200: "OK", 201: "Created", 204: "No Content", 206: "Partial Content",
+    301: "Moved Permanently", 302: "Found", 304: "Not Modified",
+    307: "Temporary Redirect", 308: "Permanent Redirect",
+    400: "Bad Request", 401: "Unauthorized", 403: "Forbidden",
+    404: "Not Found", 410: "Gone", 429: "Too Many Requests",
+    500: "Internal Server Error", 502: "Bad Gateway",
+    503: "Service Unavailable", 504: "Gateway Timeout",
+}
+
 RECORD_SCHEMA = (
     "__rec long, warc_type string, warc_target_uri string, "
     "warc_date string, warc_record_id string, content_type string, "
@@ -77,11 +90,19 @@ def parse_record(buf: bytes) -> dict:
     head = _parse_headers(buf[buf.index(_CRLF) + 2 : head_end])
     clen = int(head.get("content-length", "0"))
     payload = buf[head_end + 4 : head_end + 4 + clen]
+    # write/read id symmetry: the writer wraps bare ids as
+    # <urn:uuid:...> (ISO 28500 uri form); the reader strips the
+    # envelope so ids written == ids read back.
+    rid = head.get("warc-record-id")
+    if rid and rid.startswith("<") and rid.endswith(">"):
+        rid = rid[1:-1]
+        if rid.startswith("urn:uuid:"):
+            rid = rid[len("urn:uuid:") :]
     rec = {
         "warc_type": head.get("warc-type"),
         "warc_target_uri": head.get("warc-target-uri"),
         "warc_date": head.get("warc-date"),
-        "warc_record_id": head.get("warc-record-id"),
+        "warc_record_id": rid,
         "content_type": head.get("content-type"),
         "http_status": None,
         "http_content_type": None,
@@ -142,34 +163,59 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return idx_df.mapInPandas(parse, schema=RECORD_SCHEMA)
 
 
+def scan_gz_members(path: str, chunk_bytes: int = 4 << 20):
+    """Streaming gzip-member boundary scan: yields (offset, compressed
+    length) per member while holding at most ``chunk_bytes`` of
+    compressed input (plus zlib state) in memory — a ~1 GB Common-Crawl
+    archive never materializes driver- or executor-side.  Decompressed
+    output is discarded immediately; only byte-consumption accounting
+    is kept.  Production layouts ship a CDX index that would replace
+    this pass entirely."""
+    import zlib
+
+    with open(path, "rb") as fh:
+        buf = fh.read(chunk_bytes)
+        abs_off = 0  # file offset of buf[0]
+        while buf:
+            if len(buf) < 2:
+                buf += fh.read(chunk_bytes)
+            if buf[:2] != b"\x1f\x8b":
+                raise ValueError(f"not a gzip member at offset {abs_off}")
+            d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+            member_start = abs_off
+            while not d.eof:
+                if not buf:
+                    buf = fh.read(chunk_bytes)
+                    if not buf:
+                        raise ValueError(
+                            f"truncated gzip member starting at {member_start}"
+                        )
+                d.decompress(buf)  # output discarded; we only track bytes
+                if d.eof:
+                    consumed = len(buf) - len(d.unused_data)
+                    abs_off += consumed
+                    buf = d.unused_data
+                else:
+                    abs_off += len(buf)
+                    buf = b""
+            yield (member_start, abs_off - member_start)
+            if not buf:
+                buf = fh.read(chunk_bytes)
+
+
 def read_warc_gz(spark: SparkSession, path: str) -> DataFrame:
     """Per-record-gzipped .warc.gz (the Common-Crawl layout: one gzip
     MEMBER per record, which makes the file splittable).  With no
     companion index the member boundaries can only be found by walking
-    the stream, so the driver makes ONE sequential decompress pass to
-    record (offset, compressed length) — production Common-Crawl
-    layouts ship a CDX index that would replace this pass; executors
-    then decompress + parse only their own members.  Plain ``.warc``
-    (read_warc) never touches payloads driver-side."""
-    import zlib
-
+    the stream, so the driver makes ONE sequential STREAMING pass
+    (scan_gz_members: bounded 4 MiB reads, no whole-file buffer) to
+    record (offset, compressed length); executors then decompress +
+    parse only their own members.  Plain ``.warc`` (read_warc) never
+    touches payloads driver-side.  For many-archive crawls use
+    read_warc_many, which moves even this scan into executors."""
     import numpy as np
 
-    # member boundary scan: decompress sequentially driver-side would
-    # read payloads, so instead walk members with zlib and record only
-    # (offset, compressed length) — decompression state is discarded
-    offsets = []
-    with open(path, "rb") as fh:
-        data = fh.read()
-    pos = 0
-    while pos < len(data):
-        if data[pos : pos + 2] != b"\x1f\x8b":
-            raise ValueError(f"not a gzip member at offset {pos}")
-        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        d.decompress(data[pos:])
-        consumed = len(data) - pos - len(d.unused_data)
-        offsets.append((pos, consumed))
-        pos += consumed
+    offsets = list(scan_gz_members(path))
     rows = pd.DataFrame(
         {
             "__rec": np.arange(len(offsets), dtype=np.int64),
@@ -206,6 +252,149 @@ def read_warc_gz(spark: SparkSession, path: str) -> DataFrame:
     return idx_df.mapInPandas(parse, schema=RECORD_SCHEMA)
 
 
+MANY_SCHEMA = (
+    "warc_file string, __rec long, warc_type string, "
+    "warc_target_uri string, warc_date string, warc_record_id string, "
+    "content_type string, http_status int, http_content_type string, "
+    "payload binary"
+)
+_MANY_COLS = [
+    "warc_file", "__rec", "warc_type", "warc_target_uri", "warc_date",
+    "warc_record_id", "content_type", "http_status", "http_content_type",
+    "payload",
+]
+
+
+def _iter_members_gz(path: str, chunk_bytes: int = 4 << 20):
+    """Executor-side sequential member walk over one .warc.gz: yields
+    each member's DECOMPRESSED bytes, holding one member + one read
+    chunk in memory at a time."""
+    import zlib
+
+    with open(path, "rb") as fh:
+        buf = fh.read(chunk_bytes)
+        off = 0
+        while buf:
+            if len(buf) < 2:
+                buf += fh.read(chunk_bytes)
+            if buf[:2] != b"\x1f\x8b":
+                raise ValueError(f"not a gzip member at offset {off} in {path}")
+            d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+            out = bytearray()
+            while not d.eof:
+                if not buf:
+                    buf = fh.read(chunk_bytes)
+                    if not buf:
+                        raise ValueError(f"truncated gzip member in {path}")
+                out += d.decompress(buf)
+                if d.eof:
+                    off += len(buf) - len(d.unused_data)
+                    buf = d.unused_data
+                else:
+                    off += len(buf)
+                    buf = b""
+            yield bytes(out)
+            if not buf:
+                buf = fh.read(chunk_bytes)
+
+
+def _iter_members_plain(path: str):
+    """Executor-side sequential record walk over one plain .warc:
+    yields each record's raw bytes (header + payload + trailer)."""
+    with open(path, "rb") as fh:
+        while True:
+            start = fh.tell()
+            first = fh.readline()
+            if not first:
+                break
+            if not first.startswith(b"WARC/"):
+                raise ValueError(
+                    f"malformed WARC at offset {start} in {path}: {first[:20]!r}"
+                )
+            head = bytearray(first)
+            clen = None
+            while True:
+                line = fh.readline()
+                head += line
+                if line in (_CRLF, b""):
+                    break
+                if line.lower().startswith(b"content-length:"):
+                    clen = int(line.split(b":", 1)[1])
+            if clen is None:
+                raise ValueError(f"record at {start} in {path} missing Content-Length")
+            yield bytes(head) + fh.read(clen + 4)
+
+
+def expand_archive_paths(paths) -> list:
+    """Glob / directory / explicit-list front door → sorted file list.
+    Driver-side cost is file NAMES only (os.scandir / glob), never
+    file contents."""
+    import glob as _glob
+    import os
+
+    if isinstance(paths, (list, tuple)):
+        out = [str(p) for p in paths]
+    elif os.path.isdir(paths):
+        out = [
+            os.path.join(paths, f)
+            for f in os.listdir(paths)
+            if f.endswith((".warc", ".warc.gz"))
+        ]
+    else:
+        out = _glob.glob(paths)
+    if not out:
+        raise ValueError(f"no WARC archives matched {paths!r}")
+    return sorted(out)
+
+
+def read_warc_many(
+    spark: SparkSession, paths, *, batch_records: int = 2048
+) -> DataFrame:
+    """Distributed crawl ingestion over MANY archives — the
+    Common-Crawl shape (a dump is ~10^4-10^5 .warc.gz files).  The
+    driver expands the glob/dir/list to file names and ships the FILE
+    LIST into executors; all per-file work — gzip member scan,
+    decompression, header + payload parse — happens inside one
+    mapInPandas over that list.  No driver-side per-record loop of any
+    kind (contrast read_warc/read_warc_gz, which index one file
+    driver-side headers-only).
+
+    Output adds ``warc_file`` (archive basename) and numbers ``__rec``
+    within each archive.  Records stream out in ≤``batch_records``
+    Arrow batches so a 1 GB archive never materializes as one pandas
+    frame.  Parallelism = one task per file (file list repartitioned
+    to its own length, capped at 4096 tasks)."""
+    import os
+
+    files = expand_archive_paths(paths)
+    idx_df = spark.createDataFrame(
+        pd.DataFrame({"path": files})
+    ).repartition(min(len(files), 4096))
+
+    def parse(batches):
+        for pdf in batches:
+            for path in pdf["path"]:
+                base = os.path.basename(path)
+                it = (
+                    _iter_members_gz(path)
+                    if path.endswith(".gz")
+                    else _iter_members_plain(path)
+                )
+                recs = []
+                for i, raw in enumerate(it):
+                    r = parse_record(raw)
+                    r["__rec"] = i
+                    r["warc_file"] = base
+                    recs.append(r)
+                    if len(recs) >= batch_records:
+                        yield pd.DataFrame(recs, columns=_MANY_COLS)
+                        recs = []
+                if recs:
+                    yield pd.DataFrame(recs, columns=_MANY_COLS)
+
+    return idx_df.mapInPandas(parse, schema=MANY_SCHEMA)
+
+
 def write_warc(records, path: str, gzip_members: bool = False) -> int:
     """records: iterable of dicts with warc_type / target_uri / date /
     record_id / payload (+ optional http_status, http_content_type for
@@ -221,18 +410,23 @@ def write_warc(records, path: str, gzip_members: bool = False) -> int:
             if rec.get("warc_type") == "response":
                 status = int(rec.get("http_status", 200))
                 ctype = rec.get("http_content_type", "text/html")
+                reason = _REASON_PHRASES.get(status, "")
+                status_line = f"HTTP/1.1 {status} {reason}".rstrip()
                 payload = (
-                    f"HTTP/1.1 {status} OK\r\n"
+                    f"{status_line}\r\n"
                     f"Content-Type: {ctype}\r\n"
                     f"Content-Length: {len(payload)}\r\n\r\n"
                 ).encode("latin-1") + payload
+            rid = str(rec.get("warc_record_id", n))
+            if not (rid.startswith("<") and rid.endswith(">")):
+                rid = f"<urn:uuid:{rid}>"  # wrap bare ids; pass pre-wrapped through
             head = (
                 "WARC/1.1\r\n"
                 f"WARC-Type: {rec.get('warc_type', 'resource')}\r\n"
                 + (f"WARC-Target-URI: {rec['warc_target_uri']}\r\n"
                    if rec.get("warc_target_uri") else "")
                 + f"WARC-Date: {rec.get('warc_date', '2026-01-01T00:00:00Z')}\r\n"
-                f"WARC-Record-ID: <urn:uuid:{rec.get('warc_record_id', n)}>\r\n"
+                f"WARC-Record-ID: {rid}\r\n"
                 f"Content-Type: {rec.get('content_type', 'application/http')}\r\n"
                 f"Content-Length: {len(payload)}\r\n\r\n"
             ).encode("latin-1")

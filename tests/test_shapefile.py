@@ -194,3 +194,61 @@ def test_export_network_shp_format(spark, tmp_path):
     out = api.export_network(nodes, edges, str(tmp_path), formats=("shp",))
     df = SHP.read_shapefile(spark, out["shp"]["shp"]).orderBy("__rec").toPandas()
     assert list(df["OSMID"]) == ["7", "8"]
+
+
+def test_read_shapefile_many_distributed(spark, tmp_path):
+    """VERDICT r4 item 2 (TIGER half): a directory of per-county ZIPs
+    reads through ONE mapInPandas pass — file list in executors, ZIP
+    extraction + record walk executor-side, parity with per-file
+    read_shapefile_zip."""
+    import zipfile
+
+    sq = lambda x0, y0, w: np.array(
+        [[x0, y0], [x0 + w, y0], [x0 + w, y0 + w], [x0, y0 + w]]
+    )
+    expected = {}
+    for c in range(4):
+        base = str(tmp_path / f"tl_2023_c{c:02d}_tract")
+        recs = [
+            ({"GEOID": f"{c:02d}{i:03d}", "POP": 10 * c + i}, [[sq(5.0 * c + i, 0.0, 0.5)]])
+            for i in range(3 + c)
+        ]
+        SHP.save_shapefile(recs, base)
+        zp = str(tmp_path / f"tl_2023_c{c:02d}_tract.zip")
+        with zipfile.ZipFile(zp, "w") as zf:
+            for ext in (".shp", ".shx", ".dbf"):
+                zf.write(base + ext, f"tl_2023_c{c:02d}_tract" + ext)
+        expected[f"tl_2023_c{c:02d}_tract.zip"] = [r[0]["GEOID"] for r in recs]
+        # remove extracted originals so only ZIPs remain in the dir read
+        import os
+
+        for ext in (".shp", ".shx", ".dbf"):
+            os.remove(base + ext)
+
+    df = SHP.read_shapefile_many(spark, str(tmp_path))
+    pdf = df.toPandas()
+    assert len(pdf) == sum(len(v) for v in expected.values())
+    for fname, geoids in expected.items():
+        sub = pdf[pdf["shp_file"] == fname].sort_values("__rec")
+        assert list(sub["GEOID"]) == geoids
+        assert list(sub["__rec"]) == list(range(len(geoids)))
+    # attributes + geometry decode intact
+    one = pdf[(pdf["shp_file"] == "tl_2023_c02_tract.zip") & (pdf["__rec"] == 1)]
+    assert float(one["POP"].iloc[0]) == 21.0
+    polys = G.geometry_polygons(bytes(one["geometry"].iloc[0]))
+    assert np.allclose(polys[0][0][0], [11.0, 0.0])
+
+    # plan: single MapInPandas over the file list, no joins
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Join" not in plan
+
+    # glob + explicit-list front doors agree
+    assert SHP.read_shapefile_many(spark, str(tmp_path / "*.zip")).count() == len(pdf)
+
+    # mismatched layout raises loudly (schema drift across a layer)
+    bad = str(tmp_path / "bad_layer")
+    SHP.save_shapefile([({"OTHER": "x"}, [[sq(0, 0, 1)]])], bad)
+    with pytest.raises(Exception, match="field layout differs"):
+        SHP.read_shapefile_many(
+            spark, [str(tmp_path / "tl_2023_c00_tract.zip"), bad + ".shp"]
+        ).collect()

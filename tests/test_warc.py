@@ -103,3 +103,120 @@ def test_pages_from_warc_feeds_flagship(spark, tmp_path):
     assert pdf["extracted_text"][0] == "hello crawl"
     assert pdf["lat"][0] == 37.5 and pdf["lon"][0] == -122.1
     assert pdf["cell_r7"].notna().all()
+
+
+def test_record_id_roundtrip_and_reason_phrase(spark, tmp_path):
+    """ADVICE r4: ids written must equal ids read back (the writer's
+    <urn:uuid:...> envelope is stripped on parse; pre-wrapped ids pass
+    through), and the HTTP status line carries a status-appropriate
+    reason phrase, not a hardcoded OK."""
+    path = str(tmp_path / "ids.warc")
+    W.write_warc(
+        [
+            {"warc_type": "response", "warc_target_uri": "https://e/x",
+             "warc_record_id": "bare-id-1", "http_status": 404,
+             "payload": b"gone"},
+            {"warc_type": "response", "warc_target_uri": "https://e/y",
+             "warc_record_id": "<urn:uuid:pre-wrapped-2>",
+             "http_status": 200, "payload": b"ok"},
+            {"warc_type": "response", "warc_target_uri": "https://e/z",
+             "warc_record_id": "w3", "http_status": 418,
+             "payload": b"teapot"},
+        ],
+        path,
+    )
+    df = W.read_warc(spark, path).orderBy("__rec").toPandas()
+    assert list(df["warc_record_id"]) == ["bare-id-1", "pre-wrapped-2", "w3"]
+    # raw bytes carry real reason phrases (parse keys on the code only)
+    raw = open(path, "rb").read()
+    assert b"HTTP/1.1 404 Not Found\r\n" in raw
+    assert b"HTTP/1.1 200 OK\r\n" in raw
+    assert b"HTTP/1.1 418\r\n" in raw  # unknown status: bare code, no phrase
+    assert list(df["http_status"]) == [404, 200, 418]
+
+
+def test_scan_gz_members_streams_bounded(tmp_path):
+    """ADVICE r4: the .gz member scan must not slurp the file; with a
+    tiny chunk size it still finds exactly the member boundaries."""
+    import os
+
+    path = str(tmp_path / "s.warc.gz")
+    W.write_warc(_records(), path, gzip_members=True)
+    members = list(W.scan_gz_members(path, chunk_bytes=7))  # pathological chunk
+    assert len(members) == 4
+    assert members[0][0] == 0
+    assert sum(ln for _, ln in members) == os.path.getsize(path)
+    offs = [o for o, _ in members]
+    assert offs == sorted(offs)
+    # truncated member raises, not hangs
+    import pytest as _pt
+
+    trunc = tmp_path / "t.warc.gz"
+    trunc.write_bytes(open(path, "rb").read()[:-5][: members[1][0] + 3])
+    with _pt.raises(ValueError, match="truncated gzip member"):
+        list(W.scan_gz_members(str(trunc), chunk_bytes=7))
+
+
+def test_read_warc_many_distributed(spark, tmp_path):
+    """VERDICT r4 item 2: multi-archive ingestion — file list shipped
+    to executors, per-file scan+parse in mapInPandas, plain and gz
+    archives mixed, warc_file + per-file __rec attached."""
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"part-{i}.warc.gz")
+        W.write_warc(
+            [
+                {"warc_type": "response",
+                 "warc_target_uri": f"https://e/{i}/{j}",
+                 "warc_record_id": f"{i}-{j}", "http_status": 200,
+                 "http_content_type": "text/plain",
+                 "payload": f"doc {i} {j}".encode()}
+                for j in range(5)
+            ],
+            p, gzip_members=True,
+        )
+        paths.append(p)
+    plain = str(tmp_path / "part-3.warc")
+    W.write_warc(_records(), plain)
+    paths.append(plain)
+
+    df = W.read_warc_many(spark, paths)
+    pdf = df.toPandas()
+    assert len(pdf) == 3 * 5 + 4
+    assert set(pdf["warc_file"]) == {
+        "part-0.warc.gz", "part-1.warc.gz", "part-2.warc.gz", "part-3.warc"
+    }
+    per_file = pdf.groupby("warc_file")["__rec"].agg(["min", "max"])
+    assert (per_file["min"] == 0).all()
+    sub = pdf[pdf["warc_file"] == "part-1.warc.gz"].sort_values("__rec")
+    assert list(sub["warc_record_id"]) == [f"1-{j}" for j in range(5)]
+    assert bytes(sub["payload"].iloc[2]) == b"doc 1 2"
+
+    # glob + directory front doors resolve to the same rows
+    assert W.read_warc_many(spark, str(tmp_path / "*.warc.gz")).count() == 15
+    assert W.read_warc_many(spark, str(tmp_path)).count() == 19
+
+    # plan: file-list scan -> one ArrowEvalPython/MapInPandas pass, no joins
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_pages_from_warc_multi_archive(spark, tmp_path):
+    """pages_from_warc accepts a glob of archives and feeds the
+    flagship shape from all of them."""
+    from osm_chordify_spark.operators import pages as P
+
+    html = (P._HTML_PRE + "1.0;2.0" + P._HTML_MID + "hi" + P._HTML_POST).encode()
+    for i in range(3):
+        W.write_warc(
+            [{"warc_type": "response",
+              "warc_target_uri": f"https://m/{i}",
+              "http_status": 200,
+              "http_content_type": "text/html; charset=utf-8",
+              "payload": html}],
+            str(tmp_path / f"c{i}.warc.gz"), gzip_members=True,
+        )
+    pages = P.pages_from_warc(spark, str(tmp_path / "c*.warc.gz"))
+    got = sorted(r.url for r in pages.select("url").collect())
+    assert got == ["https://m/0", "https://m/1", "https://m/2"]
