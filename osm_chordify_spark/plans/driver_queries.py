@@ -1225,6 +1225,41 @@ def bigram_rarity_profile(spark, sf_dir):
     return _TX.bigram_rarity(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "exact_substring_dedup",
+    oracle=r"""
+with corpus as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 100000 as doc_id, text || ' zz tail' as text
+  from documents where doc_id % 5 = 0
+), t as (
+  select doc_id, regexp_split_to_array(trim(text), '\s+') as arr from corpus
+), s as (
+  select doc_id, array_to_string(arr[i:i+49], ' ') as sh
+  from t, unnest(range(1, greatest(len(arr) - 49, 0) + 1)) as u(i)
+)
+select distinct a.doc_id as doc_a, b.doc_id as doc_b
+from s a join s b on a.sh = b.sh and a.doc_id < b.doc_id
+""",
+)
+def exact_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup (Lee-et-al 50-token overlap) via
+    content-defined segment hashing (dedup.exact_substring_pairs):
+    planted near-copies (every 5th doc re-emitted with a tail) must be
+    found EXACTLY — the oracle is the brute-force stride-1 50-token
+    shingle join, the engine is the bucketed segment design (~1/4 the
+    shuffle, no all-pairs, verified anchors)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz tail")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    out = _DD.exact_substring_pairs(corpus, min_tokens=50, seg_mod=4)
+    return out.select("doc_a", "doc_b")
+
+
 @register("minhash_lsh_dedup")  # rows-only: banded-LSH candidates are not SQL-expressible
 def minhash_lsh_dedup_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")

@@ -381,3 +381,33 @@ def test_bigram_rarity_profile_semantics(spark):
     assert out.loc[1, "max_bigram_count"] == 3
     assert out.loc[2, "n_bigrams"] == 2 and out.loc[2, "rare_bigrams"] == 1
     assert out.loc[3, "n_bigrams"] == 1 and out.loc[3, "rare_bigrams"] == 0
+
+
+def test_exact_substring_pairs_planted(spark):
+    """Planted ≥50-token overlaps are found exactly; disjoint docs are
+    not paired; the plan is one bucketed equi-join (no cartesian)."""
+    from pyspark.sql import functions as F
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    base = " ".join(words[i % 8] + str(i * 37 % 101) for i in range(120))
+    rows = [
+        (1, base + " unique1 tail one"),
+        (2, "lead two " + base),                       # shares the 120-token base with 1
+        (3, " ".join(f"only3w{i}" for i in range(80))),  # disjoint
+        (4, " ".join(f"only4w{i}" for i in range(30))    # shares only 40 tokens with 5
+            + " " + " ".join(f"shared{i}" for i in range(40))),
+        (5, " ".join(f"shared{i}" for i in range(40))
+            + " " + " ".join(f"only5w{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = DD.exact_substring_pairs(df, min_tokens=50, seg_mod=4)
+    pdf = out.toPandas()
+    assert set(zip(pdf["doc_a"], pdf["doc_b"])) == {(1, 2)}
+    assert int(pdf["max_run"].iloc[0]) == 120  # the exact shared run
+
+    # 40-token overlap stays below the threshold…
+    out40 = DD.exact_substring_pairs(df, min_tokens=40, seg_mod=4).toPandas()
+    assert (4, 5) in set(zip(out40["doc_a"], out40["doc_b"]))  # …until lowered
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
