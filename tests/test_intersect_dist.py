@@ -358,3 +358,64 @@ def test_auto_dispatch_collects_small_zone_tables(spark, monkeypatch):
     )
     assert calls["n"] == 1
     pd.testing.assert_frame_equal(auto, forced)
+
+
+def test_nearest_zone_dist_far_outside_escalates(spark):
+    """VERDICT r4 item 4: points ~100 index cells from every zone must
+    resolve through the one-shot coarse escalation with IDENTICAL
+    winners to the pure sequential-annulus path (escalate_after=10^9),
+    and measurably faster (the escalated path runs escalate_after+1
+    driver rounds instead of log2(max_ring))."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from osm_chordify_spark import geom as G2
+    from osm_chordify_spark.operators.intersect_dist import nearest_zone_dist
+
+    world = (0.0, 0.0, 1024.0, 1024.0)
+    rng = np.random.default_rng(11)
+    # 300 zones packed into the [0,100]^2 corner
+    zx = rng.uniform(0.0, 95.0, 300)
+    zy = rng.uniform(0.0, 95.0, 300)
+    zdf = spark.createDataFrame(pd.DataFrame({
+        "zone_id": [f"z{i:03d}" for i in range(300)],
+        "geometry": [
+            G2.wkb_polygon([np.array(
+                [[x, y], [x + 4.0, y], [x + 4.0, y + 4.0], [x, y + 4.0]]
+            )])
+            for x, y in zip(zx, zy)
+        ],
+    }))
+    # 200 points 200-500 units away: ≥100 cells at res 9 (cell = 2)
+    pts = pd.DataFrame({
+        "point_id": np.arange(200),
+        "x": rng.uniform(300.0, 500.0, 200),
+        "y": rng.uniform(300.0, 500.0, 200),
+    })
+    kw = dict(index_res=9, max_ring=256, world=world)
+
+    t0 = time.perf_counter()
+    fast = (
+        nearest_zone_dist(spark.createDataFrame(pts), zdf, **kw)
+        .toPandas().sort_values("point_id", ignore_index=True)
+    )
+    t_fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    slow = (
+        nearest_zone_dist(
+            spark.createDataFrame(pts), zdf, escalate_after=10**9, **kw
+        )
+        .toPandas().sort_values("point_id", ignore_index=True)
+    )
+    t_slow = time.perf_counter() - t0
+
+    assert len(fast) == 200 and len(slow) == 200
+    assert (fast["zone_id"].to_numpy() == slow["zone_id"].to_numpy()).all()
+    assert np.allclose(fast["dist"], slow["dist"], rtol=1e-12)
+    # distances really are the wide-area regime
+    assert fast["dist"].min() > 200.0
+    # escalation must not be slower; in practice it's ~2x+ faster
+    # (4 driver rounds vs 9) — assert a loose floor to stay noise-proof
+    assert t_fast < t_slow * 1.2, (t_fast, t_slow)
