@@ -371,9 +371,23 @@ def read_warc_many(
         pd.DataFrame({"path": files})
     ).repartition(min(len(files), 4096))
 
+    return idx_df.mapInPandas(
+        parse_archive_batches(batch_records), schema=MANY_SCHEMA
+    )
+
+
+def parse_archive_batches(batch_records: int = 2048):
+    """mapInPandas body over a ``path`` column of WARC archives — the
+    executor-side engine of read_warc_many, exposed so the streaming
+    ingest (streaming/pages_stream.read_warc_stream) can reuse it over
+    a file-arrival source.  Accepts plain paths and file: URIs."""
+    import os
+
     def parse(batches):
         for pdf in batches:
             for path in pdf["path"]:
+                if path.startswith("file:"):
+                    path = path[len("file:") :]
                 base = os.path.basename(path)
                 it = (
                     _iter_members_gz(path)
@@ -392,7 +406,7 @@ def read_warc_many(
                 if recs:
                     yield pd.DataFrame(recs, columns=_MANY_COLS)
 
-    return idx_df.mapInPandas(parse, schema=MANY_SCHEMA)
+    return parse
 
 
 def write_warc(records, path: str, gzip_members: bool = False) -> int:

@@ -195,3 +195,81 @@ def stream_to_snapshot_table(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_warc_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Streaming crawl ingest (VERDICT r4 item 6): WARC archives
+    arriving in ``input_dir`` flow into the same record shape
+    read_warc_many produces.  The file-arrival source is
+    ``binaryFile`` with ONLY the ``path`` column selected — column
+    pruning means Spark never loads archive CONTENT driver- or
+    source-side; each executor opens its own file and streams members
+    through the shared parse_archive_batches body (bounded-memory gzip
+    member walk, same as batch)."""
+    from osm_chordify_spark.sources import warc as _W
+
+    binary_file_schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    paths = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", "*.warc*")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(input_dir)
+        .select("path")
+    )
+    return paths.mapInPandas(
+        _W.parse_archive_batches(), schema=_W.MANY_SCHEMA
+    )
+
+
+def warc_pages_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """WARC file-arrival stream → the pages shape the flagship chain
+    consumes (url, warc_ts timestamp, html) — successful HTML
+    responses only, exactly pages_from_warc's batch filter."""
+    recs = read_warc_stream(spark, input_dir, max_files_per_trigger)
+    return recs.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+    ).select(
+        F.col("warc_target_uri").alias("url"),
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        F.col("payload").alias("html"),
+    )
+
+
+def streaming_warc_zone_counts(
+    pages_stream: DataFrame,
+    watermark: str = "1 hour",
+    window_duration: str = "10 minutes",
+) -> DataFrame:
+    """Crawl stream → extract → anchors → cells → PIP → watermarked
+    windowed per-zone page counts.  Unlike streaming_zone_counts this
+    takes the WARC shape (no ground-truth ``text`` column exists for a
+    real crawl), so the rollup is pure page counts per (window,
+    zone)."""
+    enriched = P.with_cells(
+        P.with_geo_anchors(P.with_extracted_text(pages_stream))
+    ).select("url", "warc_ts", "lon", "lat", "cell_r7", "cell_r10")
+    assigned = P.pip_assign(enriched)
+    return (
+        assigned.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window_duration), F.col("zone_id"))
+        .agg(F.count("*").alias("page_count"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "zone_id",
+            "page_count",
+        )
+    )
