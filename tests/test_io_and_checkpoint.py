@@ -225,3 +225,45 @@ def test_snapshot_commit_exclusive_create_retries(spark, tmp_path, monkeypatch):
     assert m1["row_count"] == 5                 # append lineage reassembled
     assert ST.load_manifest(tdir, 0)["snapshot_id"] == m0["snapshot_id"]
     assert ST.read_snapshot(spark, tdir).count() == 5
+
+
+def test_snapshot_concurrent_writers_race(spark, tmp_path):
+    """VERDICT r4 item 8: two LIVE write_snapshot calls racing from
+    separate threads — one must win vN, the other must land vN+1, and
+    the final table reads BOTH row sets (no silently vanished
+    snapshot)."""
+    import threading
+
+    import pandas as pd
+
+    from osm_chordify_spark.sources import snapshot_table as ST
+
+    tdir = str(tmp_path / "race_tbl")
+    barrier = threading.Barrier(2)
+    results = {}
+    errors = []
+
+    def writer(tag, values):
+        df = spark.createDataFrame(pd.DataFrame({"a": values, "src": tag}))
+        barrier.wait(timeout=60)
+        try:
+            results[tag] = ST.write_snapshot(df, tdir, mode="append")
+        except Exception as exc:  # surfaces in the main thread
+            errors.append((tag, exc))
+
+    t1 = threading.Thread(target=writer, args=("w1", [1, 2, 3]))
+    t2 = threading.Thread(target=writer, args=("w2", [10, 20]))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors, errors
+
+    versions = sorted(m["version"] for m in results.values())
+    assert versions == [0, 1], results
+    loser = max(results.values(), key=lambda m: m["version"])
+    winner = min(results.values(), key=lambda m: m["version"])
+    assert loser["parent"] == winner["version"]
+    assert loser["row_count"] == 5              # lineage reassembled over both
+    out = ST.read_snapshot(spark, tdir).toPandas()
+    assert sorted(out["a"]) == [1, 2, 3, 10, 20]
+    assert set(out["src"]) == {"w1", "w2"}
+    # both versions remain independently readable (time travel intact)
+    assert ST.read_snapshot(spark, tdir, version=winner["version"]).count() in (2, 3)
