@@ -203,19 +203,66 @@ def scan_gz_members(path: str, chunk_bytes: int = 4 << 20):
                 buf = fh.read(chunk_bytes)
 
 
+def cdx_path_for(path: str) -> str:
+    return path + ".cdx"
+
+
+def write_cdx(path: str, members) -> int:
+    """CDX-style companion index for a .warc.gz: one ``offset length``
+    line per gzip member (the role a Common-Crawl CDX serves — member
+    boundaries without walking the stream).  Minimal two-field form;
+    the record headers already carry uri/type, so the index stores only
+    what seek-parallelism needs."""
+    n = 0
+    with open(cdx_path_for(path), "w") as fh:
+        for off, ln in members:
+            fh.write(f"{off} {ln}\n")
+            n += 1
+    return n
+
+
+def read_cdx(path: str) -> list:
+    """[(offset, compressed length)] from a companion .cdx, validated
+    against the archive size (a stale index from a rewritten archive
+    must fail loudly, not seek into garbage)."""
+    import os
+
+    out = []
+    with open(cdx_path_for(path)) as fh:
+        for line in fh:
+            if line.strip():
+                off, ln = line.split()
+                out.append((int(off), int(ln)))
+    size = os.path.getsize(path)
+    if out and (sum(ln for _, ln in out) != size or out[0][0] != 0):
+        raise ValueError(
+            f"CDX index {cdx_path_for(path)} does not tile {path} "
+            f"({sum(ln for _, ln in out)} indexed vs {size} bytes) — "
+            "stale index?"
+        )
+    return out
+
+
 def read_warc_gz(spark: SparkSession, path: str) -> DataFrame:
     """Per-record-gzipped .warc.gz (the Common-Crawl layout: one gzip
-    MEMBER per record, which makes the file splittable).  With no
-    companion index the member boundaries can only be found by walking
-    the stream, so the driver makes ONE sequential STREAMING pass
-    (scan_gz_members: bounded 4 MiB reads, no whole-file buffer) to
-    record (offset, compressed length); executors then decompress +
-    parse only their own members.  Plain ``.warc`` (read_warc) never
-    touches payloads driver-side.  For many-archive crawls use
-    read_warc_many, which moves even this scan into executors."""
+    MEMBER per record, which makes the file splittable).  If a
+    companion ``<path>.cdx`` exists (write_warc(..., cdx=True) emits
+    one) the member boundaries come straight from it — NO driver pass
+    over the archive at all.  Otherwise the driver makes ONE sequential
+    STREAMING pass (scan_gz_members: bounded 4 MiB reads, no
+    whole-file buffer) to record (offset, compressed length).  Either
+    way executors then decompress + parse only their own members.
+    Plain ``.warc`` (read_warc) never touches payloads driver-side.
+    For many-archive crawls use read_warc_many, which moves even the
+    scan into executors."""
+    import os
+
     import numpy as np
 
-    offsets = list(scan_gz_members(path))
+    if os.path.exists(cdx_path_for(path)):
+        offsets = read_cdx(path)
+    else:
+        offsets = list(scan_gz_members(path))
     rows = pd.DataFrame(
         {
             "__rec": np.arange(len(offsets), dtype=np.int64),
@@ -409,14 +456,21 @@ def parse_archive_batches(batch_records: int = 2048):
     return parse
 
 
-def write_warc(records, path: str, gzip_members: bool = False) -> int:
+def write_warc(
+    records, path: str, gzip_members: bool = False, cdx: bool = False
+) -> int:
     """records: iterable of dicts with warc_type / target_uri / date /
     record_id / payload (+ optional http_status, http_content_type for
     response records — the HTTP envelope is built here).  Returns the
     record count.  ``gzip_members=True`` writes one gzip member per
-    record (the splittable Common-Crawl layout)."""
+    record (the splittable Common-Crawl layout); ``cdx=True``
+    additionally emits the ``<path>.cdx`` member index so readers skip
+    the boundary scan entirely (requires gzip_members)."""
     import gzip
 
+    if cdx and not gzip_members:
+        raise ValueError("cdx=True requires gzip_members=True")
+    members = []
     n = 0
     with open(path, "wb") as fh:
         for rec in records:
@@ -445,6 +499,14 @@ def write_warc(records, path: str, gzip_members: bool = False) -> int:
                 f"Content-Length: {len(payload)}\r\n\r\n"
             ).encode("latin-1")
             blob = head + payload + b"\r\n\r\n"
-            fh.write(gzip.compress(blob) if gzip_members else blob)
+            if gzip_members:
+                member = gzip.compress(blob)
+                if cdx:
+                    members.append((fh.tell(), len(member)))
+                fh.write(member)
+            else:
+                fh.write(blob)
             n += 1
+    if cdx:
+        write_cdx(path, members)
     return n

@@ -220,3 +220,38 @@ def test_pages_from_warc_multi_archive(spark, tmp_path):
     pages = P.pages_from_warc(spark, str(tmp_path / "c*.warc.gz"))
     got = sorted(r.url for r in pages.select("url").collect())
     assert got == ["https://m/0", "https://m/1", "https://m/2"]
+
+
+def test_cdx_index_skips_member_scan(spark, tmp_path, monkeypatch):
+    """write_warc(cdx=True) emits a .cdx member index; read_warc_gz
+    then never walks the archive (scan_gz_members is poisoned), and a
+    stale index (archive rewritten) fails loudly instead of seeking
+    into garbage."""
+    path = str(tmp_path / "i.warc.gz")
+    W.write_warc(_records(), path, gzip_members=True, cdx=True)
+    import os
+
+    assert os.path.exists(path + ".cdx")
+    idx = W.read_cdx(path)
+    assert len(idx) == 4
+    assert sum(ln for _, ln in idx) == os.path.getsize(path)
+    # same boundaries the scan would find
+    assert idx == list(W.scan_gz_members(path))
+
+    def boom(*a, **k):
+        raise AssertionError("scan_gz_members must not run when a CDX exists")
+
+    monkeypatch.setattr(W, "scan_gz_members", boom)
+    df = W.read_warc_gz(spark, path).orderBy("__rec").toPandas()
+    assert list(df["warc_type"]) == ["warcinfo", "response", "response",
+                                     "resource"]
+    assert bytes(df["payload"][2]) == b"not found"
+
+    # stale index: rewrite the archive with more records, keep old cdx
+    old_cdx = open(path + ".cdx").read()
+    W.write_warc(_records() + _records(), path, gzip_members=True)
+    open(path + ".cdx", "w").write(old_cdx)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="stale index"):
+        W.read_warc_gz(spark, path)
