@@ -627,6 +627,7 @@ def exact_substring_pairs(
     *,
     min_tokens: int = 50,
     seg_mod: int = 4,
+    min_seg_tokens: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = None,
@@ -649,10 +650,17 @@ def exact_substring_pairs(
     2. **Bucketed candidate join** — segments equi-join on
        ``md5(content)``; only cross-document matches survive.  A shared
        run of length L ≥ min_tokens is caught whenever it contains ≥ 2
-       breakpoints — miss probability (1-1/m)^(L-2)·(1+(L-2)/(m-1)),
-       ≈ 6e-6 at m=4, L=50, and it only FALLS as runs grow; hash-equal
-       but content-unequal buckets are killed in step 3, so there are
-       no false positives.  ``max_bucket`` optionally drops
+       breakpoints AND at least one complete segment of
+       ``min_seg_tokens`` or more.  Both failure modes are vanishing at
+       the defaults (m=4, L=50): P(<2 breakpoints) ≈ 1.7e-5, and
+       all-gaps-below-3 over 48 positions ≈ 0.44^24 ≈ 2e-9 — and both
+       only FALL as runs grow.  ``min_seg_tokens`` exists because
+       1-2-token segments are exactly the stopword/common-token
+       buckets: on the sf0.1 corpus they put 25.4M pairs through the
+       equi-join while ≥3-token segments carry 61k — a 400× candidate
+       reduction for a ~1e-5 recall trade (the planted-dup gate still
+       demands EXACT pair parity).  Hash-equal but content-unequal
+       buckets are killed in step 3, so there are no false positives.  ``max_bucket`` optionally drops
        pathological boilerplate segments (documented recall trade,
        same knob as the LSH family).
     3. **Anchor extension** — each candidate joins back both token
@@ -689,6 +697,7 @@ def exact_substring_pairs(
                 ),
             )
         ).alias("s"))
+        .filter(F.col("s.n") >= min_seg_tokens)
         .select(
             "__doc",
             F.col("s.start").alias("start"),

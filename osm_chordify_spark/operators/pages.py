@@ -312,12 +312,16 @@ def pages_pipeline(spark: SparkSession, sf_dir: str, how: str = "inner") -> Data
     return assigned
 
 
-def pages_from_warc(spark: SparkSession, warc_path: str) -> DataFrame:
-    """Crawl front door: a WARC archive (plain or per-record-gzip) →
-    the pages-table shape the flagship pipeline consumes
-    (url, warc_ts, html) — successful HTML responses only.  Chain with
-    with_extracted_text_arrow / with_geo_anchors / with_cells /
-    pip_assign_arrow exactly like synthesized pages."""
+def pages_from_warc(spark: SparkSession, warc_path) -> DataFrame:
+    """Crawl front door: WARC archives → the pages-table shape the
+    flagship pipeline consumes (url, warc_ts, html) — successful HTML
+    responses only.  ``warc_path`` may be a single archive (plain or
+    per-record-gzip), a list of archives, a glob, or a directory — the
+    multi-archive forms route through read_warc_many (file list into
+    executors, all scanning/parsing distributed: the Common-Crawl
+    10^4-archive shape).  Chain with with_extracted_text_arrow /
+    with_geo_anchors / with_cells / pip_assign_arrow exactly like
+    synthesized pages."""
     from osm_chordify_spark.sources import warc as _W
 
     if isinstance(warc_path, (list, tuple)):
