@@ -51,7 +51,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -803,13 +803,132 @@ def nearest_zone_dist(
 
     def search_at(rr: int) -> DataFrame:
         """The annulus search against the zones indexed at resolution
-        ``rr`` only — (pid, zid, dist) winners for that zone subset."""
+        ``rr`` only — (pid, zid, dist) winners for that zone subset.
+
+        Wide-area escalation (after ``escalate_after`` unresolved
+        doubling rounds): instead of walking O(max_ring) more
+        driver-sequenced annuli — or exact-scoring a fat coarse disk —
+        the still-unresolved (far-from-everything) points finish in ONE
+        hierarchical round of pure-codegen cell-bound pruning:
+
+        1. probe the COARSE disk covering the whole remaining range
+           (cell_parent covers, ≤ (2·(max_ring>>s)+3)² cells/point) and
+           compute per (point, coarse cell) the exact rect bounds
+           [d_lo, d_hi]; a cell whose d_lo exceeds the point's best
+           d_hi cannot hold the winner — survivors are a thin shell;
+        2. descend the surviving coarse cells to their FINE cover cells
+           (parent equi-join), re-bound at fine rects, cut again —
+           the shell is now ~one cell thick;
+        3. exact-score only the shell's zones (the same grouped kernel)
+           and min-rank with the carried best.
+
+        Every exclusion is justified by d_lo > min(d_hi) ≥ true best
+        distance, so winners are EXACT (parity-pinned against the pure
+        annulus path).  The fine-cell Chebyshev cap |Δix|,|Δiy| ≤
+        max_ring reproduces the annulus path's search horizon."""
+        from osm_chordify_spark.functions.cells import cell_parent_expr
+
         n = 1 << rr
-        cell_min = min((x1 - x0) / n, (y1 - y0) / n)
+        cell_w = (x1 - x0) / n
+        cell_h = (y1 - y0) / n
+        cell_min = min(cell_w, cell_h)
         zc_r = zcells.filter(F.shiftright("__cell", 58) == rr)
         unresolved = pbase.withColumn(
             "__pcell", cell_expr(F.col("__px"), F.col("__py"), rr, world)
         ).localCheckpoint(eager=True)
+
+        _MASK = (1 << 29) - 1
+
+        def _rect_bounds(cell, px_c, py_c, res_q):
+            """(d_lo, d_hi) of a point vs a cell rect at res_q — exact
+            float arithmetic, pure codegen."""
+            nq = 1 << res_q
+            w = (x1 - x0) / nq
+            h = (y1 - y0) / nq
+            ix = F.shiftright(cell, 29).bitwiseAND(F.lit(_MASK).cast("long"))
+            iy = cell.bitwiseAND(F.lit(_MASK).cast("long"))
+            rx0 = F.lit(float(x0)) + ix.cast("double") * F.lit(float(w))
+            ry0 = F.lit(float(y0)) + iy.cast("double") * F.lit(float(h))
+            rx1 = rx0 + F.lit(float(w))
+            ry1 = ry0 + F.lit(float(h))
+            dx_lo = F.greatest(rx0 - px_c, px_c - rx1, F.lit(0.0))
+            dy_lo = F.greatest(ry0 - py_c, py_c - ry1, F.lit(0.0))
+            dx_hi = F.greatest(F.abs(px_c - rx0), F.abs(px_c - rx1))
+            dy_hi = F.greatest(F.abs(py_c - ry0), F.abs(py_c - ry1))
+            lo = F.sqrt(dx_lo * dx_lo + dy_lo * dy_lo)
+            hi = F.sqrt(dx_hi * dx_hi + dy_hi * dy_hi)
+            return lo, hi
+
+        def _hierarchical_finish(unres, best):
+            """Steps 1-3 above for the still-unresolved points."""
+            s = min(rr, max(max_ring.bit_length() - 5, 0))
+            rc = rr - s
+            disk = (max_ring >> s) + 1
+            ccells = zc_r.select(
+                cell_parent_expr(F.col("__cell"), s).alias("__ccell")
+            ).distinct()
+            pz = unres.select("__pid", "__px", "__py", "__pcell").withColumn(
+                "__pcell_c", cell_expr(F.col("__px"), F.col("__py"), rc, world)
+            )
+            probe = pz.withColumn(
+                "__ccell",
+                F.explode(_annulus_cells(F.col("__pcell_c"), -1, disk, rc)),
+            ).join(ccells, "__ccell")
+            lo_c, hi_c = _rect_bounds(F.col("__ccell"), F.col("__px"),
+                                      F.col("__py"), rc)
+            probe = probe.withColumn("__lo", lo_c).withColumn("__hi", hi_c)
+            wcut = Window.partitionBy("__pid")
+            surv_c = (
+                probe.withColumn("__cut", F.min("__hi").over(wcut))
+                .filter(F.col("__lo") <= F.col("__cut"))
+                .select("__pid", "__px", "__py", "__pcell", "__ccell")
+            )
+            fine = zc_r.select("__cell").distinct().withColumn(
+                "__ccell", cell_parent_expr(F.col("__cell"), s)
+            )
+            desc = surv_c.join(fine, "__ccell")
+            # the annulus path's horizon: fine Chebyshev ≤ max_ring
+            pix = F.shiftright("__pcell", 29).bitwiseAND(F.lit(_MASK).cast("long"))
+            piy = F.col("__pcell").bitwiseAND(F.lit(_MASK).cast("long"))
+            cix = F.shiftright("__cell", 29).bitwiseAND(F.lit(_MASK).cast("long"))
+            ciy = F.col("__cell").bitwiseAND(F.lit(_MASK).cast("long"))
+            desc = desc.filter(
+                F.greatest(F.abs(pix - cix), F.abs(piy - ciy)) <= max_ring
+            )
+            lo_f, hi_f = _rect_bounds(F.col("__cell"), F.col("__px"),
+                                      F.col("__py"), rr)
+            desc = desc.withColumn("__lo", lo_f).withColumn("__hi", hi_f)
+            surv_f = (
+                desc.withColumn("__cut", F.min("__hi").over(wcut))
+                .filter(F.col("__lo") <= F.col("__cut"))
+                .select("__pid", "__px", "__py", "__cell")
+            )
+            cand = (
+                surv_f.join(zc_r, "__cell")
+                .select("__pid", "__px", "__py", "__zid")
+                .distinct()
+                .join(zindexed.select("__zid", "__zgeom"), "__zid")
+                .withColumn(
+                    "__gk",
+                    F.concat_ws(
+                        "#",
+                        F.pmod(F.xxhash64("__zid"), F.lit(zone_buckets)),
+                        F.pmod(F.xxhash64("__pid"), F.lit(salt_buckets)),
+                    ),
+                )
+            )
+            scored = _grouped_map(
+                cand, "__gk", _per_zone(score),
+                "__pid long, __zid long, __dist double",
+            )
+            allc = scored if best is None else scored.unionByName(best)
+            return (
+                allc.join(zindexed.select("__zid", "__zname"), "__zid")
+                .groupBy("__pid")
+                .agg(F.min(F.struct("__dist", "__zname", "__zid")).alias("__b"))
+                .select("__pid", F.col("__b.__zid").alias("__zid"),
+                        F.col("__b.__dist").alias("__dist"))
+            )
 
         finished: list[DataFrame] = []
         best = None  # carried (pid, zid, dist) per point
@@ -843,19 +962,13 @@ def nearest_zone_dist(
             # equidistant zones must resolve identically run-to-run and
             # across paths.
             # ranked is checkpointed ONCE per round: done / still / best
-            # are then lazy filters over its blocks — the old per-branch
-            # eager checkpoints re-ran the whole scoring lineage
-            # (grouped-map included) 2-3× per round
+            # are then lazy filters over its blocks
             ranked = (
                 allc.join(zindexed.select("__zid", "__zname"), "__zid")
                 .groupBy("__pid")
                 .agg(F.min(F.struct("__dist", "__zname", "__zid")).alias("__b"))
                 .select("__pid", F.col("__b.__zid").alias("__zid"),
                         F.col("__b.__dist").alias("__dist"))
-                # no join back to `unresolved`: scored derives from its
-                # probe and `best` carries only still-unresolved points,
-                # so ranked is already restricted — the old join only
-                # re-attached coordinate columns nothing below reads
                 .localCheckpoint(eager=True)
             )
             bound = max(r - 1, 0) * cell_min
@@ -879,50 +992,7 @@ def nearest_zone_dist(
             unresolved = nxt_unres
             rounds += 1
             if rounds >= escalate_after and rr > 0:
-                # wide-area escalation: one coarse fat-candidate round
-                # covering the entire remaining max_ring range
-                from osm_chordify_spark.functions.cells import cell_parent_expr
-
-                shift = min(rr, max(2, (max(max_ring // 4, 1)).bit_length()))
-                rc = rr - shift
-                disk = (max_ring >> shift) + 2
-                zc_c = zc_r.select(
-                    "__zid", cell_parent_expr(F.col("__cell"), shift).alias("__cell")
-                ).distinct()
-                pz = unresolved.select("__pid", "__px", "__py").withColumn(
-                    "__pcell", cell_expr(F.col("__px"), F.col("__py"), rc, world)
-                )
-                probe_c = pz.withColumn(
-                    "__cell",
-                    F.explode(_annulus_cells(F.col("__pcell"), -1, disk, rc)),
-                )
-                cand_c = (
-                    probe_c.join(zc_c, "__cell")
-                    .select("__pid", "__px", "__py", "__zid")
-                    .distinct()
-                    .join(zindexed.select("__zid", "__zgeom"), "__zid")
-                    .withColumn(
-                        "__gk",
-                        F.concat_ws(
-                            "#",
-                            F.pmod(F.xxhash64("__zid"), F.lit(zone_buckets)),
-                            F.pmod(F.xxhash64("__pid"), F.lit(salt_buckets)),
-                        ),
-                    )
-                )
-                scored_c = _grouped_map(
-                    cand_c, "__gk", _per_zone(score),
-                    "__pid long, __zid long, __dist double",
-                )
-                allc_c = scored_c.unionByName(best)
-                ranked_c = (
-                    allc_c.join(zindexed.select("__zid", "__zname"), "__zid")
-                    .groupBy("__pid")
-                    .agg(F.min(F.struct("__dist", "__zname", "__zid")).alias("__b"))
-                    .select("__pid", F.col("__b.__zid").alias("__zid"),
-                            F.col("__b.__dist").alias("__dist"))
-                )
-                finished.append(ranked_c)
+                finished.append(_hierarchical_finish(unresolved, best))
                 break
             r_prev, r = r, min(r * 2, max_ring)
 
