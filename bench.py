@@ -159,6 +159,7 @@ def run_relational(spark: SparkSession, sf_dir: str) -> dict:
         "knn_segment_match",
         "minhash_lsh_dedup",
         "exact_substring_dedup",
+        "host_link_pagerank",
         "ann_cosine_topk",
         "text_analysis",
         "raster_zonal_stats",
