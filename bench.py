@@ -392,7 +392,7 @@ def _scaling_attempt(runs_per_leg: int) -> dict:
 # by at least this factor from LOW_CPUS->CPUS; below it, the raw number
 # measures hypervisor steal, not the engine
 SCALE_CEILING_OK = float(os.environ.get("SPARK_GRAFT_SCALE_CEILING_OK", "2.5"))
-SCALE_MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
+SCALE_MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "4"))
 SCALE_TARGET_EFF = 0.8
 
 

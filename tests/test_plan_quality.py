@@ -127,3 +127,15 @@ def test_100k_zone_dist_no_cartesian(spark):
     plan = _plan(spark, "zone_intersect_100k_zones_dist")
     assert "CartesianProduct" not in plan
     assert "REPARTITION_BY_COL" in plan  # zone-bucketed grouped map
+
+
+def test_host_link_pagerank_all_jvm_no_cartesian(spark):
+    """Link graph + fixed-point PageRank: anchor extraction and host
+    parsing are pure codegen (regexp in JVM), the iteration is
+    equi-joins + aggs — no Python crossing, no cartesian, and the edge
+    aggregation gets a map-side partial count."""
+    plan = _plan(spark, "host_link_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine on edge weights
