@@ -581,13 +581,9 @@ def remove_boilerplate_paragraphs(
     never the text) → anti-join → ordered re-aggregation with
     array_join.  The paragraph-frequency table is the only shuffle
     payload beyond ids and offsets."""
-    # frequency keys on the RAW paragraph (two paragraphs differing only
-    # in surrounding whitespace are different strings and must rejoin
-    # byte-identically); blank paragraphs are excluded from the filter
-    paras = docs.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("__pos", "__p"),
-    ).withColumn("__h", F.xxhash64(F.col("__p")))
+    # frequency keys on the RAW paragraph (see _explode_paragraphs);
+    # blank paragraphs are excluded from the filter
+    paras = _explode_paragraphs(docs, text_col, id_col, sep)
     freq = (
         paras.filter(F.trim(F.col("__p")) != "")
         .groupBy("__h")
@@ -596,6 +592,27 @@ def remove_boilerplate_paragraphs(
         .select("__h")
     )
     kept = paras.join(freq, "__h", "left_anti")
+    return _rebuild_docs(docs, kept, text_col=text_col, id_col=id_col, sep=sep)
+
+
+def _explode_paragraphs(
+    docs: DataFrame, text_col: str, id_col: str, sep: str
+) -> DataFrame:
+    """(__id, __pos, __p, __h) — one row per paragraph, hash on the RAW
+    paragraph bytes (whitespace variants are distinct strings and must
+    rejoin byte-identically)."""
+    return docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("__pos", "__p"),
+    ).withColumn("__h", F.xxhash64(F.col("__p")))
+
+
+def _rebuild_docs(
+    docs: DataFrame, kept: DataFrame, *, text_col: str, id_col: str, sep: str
+) -> DataFrame:
+    """Re-assemble documents from surviving (__id, __pos, __p) paragraph
+    rows, preserving original order; docs whose every paragraph was
+    dropped come back as ''."""
     rebuilt = (
         kept.groupBy("__id")
         .agg(
@@ -614,6 +631,44 @@ def remove_boilerplate_paragraphs(
         .join(rebuilt.withColumnRenamed("__id", id_col), id_col, "left")
         .select(*others, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """CCNet-style corpus-wide paragraph deduplication: every non-blank
+    paragraph keeps ONLY its first occurrence (ordered by
+    ``(id, position)``); later copies are dropped from their documents,
+    and each document is rebuilt from its surviving paragraphs in
+    original order.
+
+    Complements :func:`remove_boilerplate_paragraphs` (which drops
+    high-frequency paragraphs from EVERY document): this is the CCNet
+    shard-dedup semantics — one canonical copy survives.
+
+    Plan shape (100 TB discipline): posexplode → per-hash
+    ``min(struct(id, pos))`` aggregate → equi-join back → ordered
+    re-aggregation.  The winner is found with an *aggregate*, not a
+    row_number window, so a paragraph duplicated across 10^9 pages
+    (cookie banner) gets map-side partial ``min`` on every input
+    partition instead of shipping 10^9 rows to one window reducer; the
+    rejoin on the hash is AQE-skew-splittable.  Whitespace-only
+    paragraphs are structural, not content — they never dedup.
+    """
+    paras = _explode_paragraphs(docs, text_col, id_col, sep)
+    winners = (
+        paras.filter(F.trim(F.col("__p")) != "")
+        .groupBy("__h")
+        .agg(F.min(F.struct("__id", "__pos")).alias("__w"))
+    )
+    kept = paras.join(winners, "__h", "left").filter(
+        F.col("__w").isNull()
+        | ((F.col("__w.__id") == F.col("__id")) & (F.col("__w.__pos") == F.col("__pos")))
+    )
+    return _rebuild_docs(docs, kept, text_col=text_col, id_col=id_col, sep=sep)
 
 
 # ---------------------------------------------------------------------------

@@ -239,6 +239,61 @@ def cap_per_domain(
     )
 
 
+def _hex_threshold(rate: float, digits: int = 6) -> str:
+    """Lowercase hex string T such that a uniform ``digits``-hex-char
+    draw is < T with probability ``rate``.  rate ≥ 1 returns 'g'
+    (lexicographically above every hex string — keep all); rate ≤ 0
+    returns '' (below every non-empty string — keep none)."""
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return ""
+    return format(int(round(rate * (16 ** digits))), f"0{digits}x")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    *,
+    default_rate: float = 0.0,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic corpus-mixing sampler — the data-mixture step of a
+    training pipeline (e.g. keep 100% of books, 30% of web, 5% of a hot
+    domain): a row survives iff the first 6 hex chars of
+    ``md5(key || '|' || salt)`` fall lexicographically below its
+    stratum's threshold.
+
+    Properties a training pipeline needs and ``df.sample`` can't give:
+
+    * **Reproducible across runs, engines, partitionings and cluster
+      sizes** — membership is a pure function of (key, salt), so a
+      resumed or re-sharded job keeps exactly the same rows, and the
+      same expression in any md5-bearing SQL engine yields the same
+      sample (lowercase-hex md5 is byte-identical everywhere).
+    * **Monotone in rate** — raising a stratum's rate only ADDs rows
+      (supersample property), so mixture re-weights don't churn the
+      kept set.
+    * **Coordinated across tables** — the same key samples consistently
+      everywhere it appears (e.g. a doc and its embeddings row).
+
+    Plan shape: pure codegen scan + filter — no shuffle, no UDF; the
+    rate CASE and the md5 both run inside whole-stage codegen, and the
+    filter pushes to the scan.
+    """
+    thr: Column = F.lit(_hex_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(_hex_threshold(rate))
+        ).otherwise(thr)
+    bucket = F.substring(
+        F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt))), 1, 6
+    )
+    return df.filter(bucket < thr)
+
+
 def canonical_url(url: Column) -> Column:
     """Crawl-dedup URL canonicalization, pure codegen:
 

@@ -3089,6 +3089,108 @@ def boilerplate_paragraph_removal(spark, sf_dir):
 
 
 @register(
+    "paragraph_dedup_first",
+    oracle="""
+with pages as (
+  select doc_id,
+         text || chr(10) || chr(10) || 'shared quote block '
+         || cast(doc_id % 5 as varchar)
+         || case when doc_id % 4 = 0 then chr(10) || chr(10) || ' ' else '' end
+         as text
+  from documents
+), paras as (
+  select doc_id, u.p, u.pos
+  from pages,
+       lateral (select unnest(string_split(text, chr(10) || chr(10))) as p,
+                       generate_subscripts(string_split(text, chr(10) || chr(10)), 1) as pos) u
+), w1 as (
+  select p, min(doc_id) as wid from paras where trim(p) <> '' group by p
+), w2 as (
+  select paras.p, w1.wid, min(paras.pos) as wpos
+  from paras join w1 on paras.p = w1.p and paras.doc_id = w1.wid
+  group by paras.p, w1.wid
+), kept as (
+  select paras.doc_id, paras.pos, paras.p
+  from paras left join w2 on paras.p = w2.p
+  where w2.p is null or (paras.doc_id = w2.wid and paras.pos = w2.wpos)
+)
+select d.doc_id,
+       coalesce((select string_agg(k.p, chr(10) || chr(10) order by k.pos)
+                 from kept k where k.doc_id = d.doc_id), '') as text
+from documents d
+""",
+)
+def paragraph_dedup_first(spark, sf_dir):
+    """CCNet-style corpus-wide paragraph dedup (dedup.dedup_paragraphs):
+    every page carries an injected quote block shared by doc_id % 5 —
+    only the lexicographically-first (doc_id, pos) copy of each
+    non-blank paragraph survives, every later copy is dropped, and a
+    planted whitespace-only paragraph (doc_id % 4 = 0) proves blanks
+    are structural and never dedup.  The oracle replays the
+    first-occurrence rule with a two-level min (doc, then pos)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nshared quote block "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\n\n ")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return _DD.dedup_paragraphs(docs)
+
+
+@register(
+    "corpus_mix_sample",
+    oracle="""
+with docs as (
+  select doc_id,
+         case when doc_id % 7 = 0 then 'books'
+              when doc_id % 7 in (1, 2) then 'web'
+              else 'crawl' end as tier
+  from documents
+), kept as (
+  select doc_id, tier from docs
+  where substr(md5(cast(doc_id as varchar) || '|' || 'mix-v1'), 1, 6)
+        < case tier when 'books' then 'g'
+                    when 'web' then '59999a'
+                    else '11eb85' end
+)
+select tier,
+       count(*) as kept_docs,
+       min(doc_id) as min_doc,
+       cast(sum(doc_id) as bigint) as sum_doc_id
+from kept group by tier
+""",
+)
+def corpus_mix_sample(spark, sf_dir):
+    """Deterministic corpus-mixing sampler (textops.
+    stratified_hash_sample): pages are assigned mixture tiers (books /
+    web / crawl by doc_id % 7) and sampled at 100% / 35% / 7% by an
+    md5-threshold membership test — a pure function of (key, salt), so
+    the oracle's SQL replay of the same md5 comparison keeps EXACTLY
+    the same rows (reproducibility across engines is the operator's
+    contract, and this gate is the proof)."""
+    from osm_chordify_spark.operators.textops import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("books"))
+        .when((F.col("doc_id") % 7).isin(1, 2), F.lit("web"))
+        .otherwise(F.lit("crawl"))
+        .alias("tier"),
+    )
+    kept = stratified_hash_sample(
+        docs, "tier", {"books": 1.0, "web": 0.35, "crawl": 0.07}, "doc_id"
+    )
+    return kept.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )
+
+
+@register(
     "url_canonicalization",
     oracle="""
 with raw as (
@@ -3276,8 +3378,8 @@ _WINDOW_FIRST = [
     "spatial_left_join_dist", "chordify_contraction", "graph_components",
     "edge_id_hash", "knn_segment_match", "dedup_exact",
     "ngram_jaccard_pairs", "bigram_rarity_profile", "exact_substring_dedup",
-    "minhash_lsh_dedup", "simhash_pairs", "text_analysis", "quality_scores",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "minhash_lsh_dedup", "paragraph_dedup_first", "text_analysis",
+    "quality_scores", "ann_cosine_topk", "ann_ivf_topk", "corpus_mix_sample",
     "edge_quality_summary", "events_value_histogram",
     "token_frequency_by_lang", "process_tags_pipeline",
     "host_link_pagerank", "density_boundary_filter",

@@ -455,3 +455,62 @@ def test_ivf_pq_topk_recall_and_full_refine_exactness(spark):
     a_pairs = {tuple(r) for r in approx[["query_id", "vec_id"]].itertuples(index=False)}
     recall = len(a_pairs & e_pairs) / len(e_pairs)
     assert recall >= 0.6, f"IVF-PQ recall@5 {recall:.2f} below the 0.6 floor"
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    """CCNet semantics: a paragraph keeps only its (doc_id, pos)-first
+    copy; blanks are structural; a doc that was ALL duplicates rebuilds
+    as ''."""
+    rows = [
+        (0, "alpha body\n\nshared quote\n\nzeta tail"),
+        (1, "shared quote\n\nbravo body"),        # loses the quote
+        (2, "shared quote"),                       # loses everything
+        (3, "charlie body\n\n \n\ncharlie end"),   # blank kept as-is
+        (4, "alpha body"),                         # dup of doc 0's first para
+        (5, "delta body\n\ndelta body"),           # intra-doc dup: pos 0 wins
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = dict(
+        DD.dedup_paragraphs(docs).toPandas().itertuples(index=False, name=None)
+    )
+    assert out[0] == "alpha body\n\nshared quote\n\nzeta tail"
+    assert out[1] == "bravo body"
+    assert out[2] == ""
+    assert out[3] == "charlie body\n\n \n\ncharlie end"
+    assert out[4] == ""
+    assert out[5] == "delta body"
+
+
+def test_stratified_hash_sample_properties(spark):
+    """Deterministic membership, supersample monotonicity, and exact
+    0/1-rate semantics."""
+    from osm_chordify_spark.operators.textops import stratified_hash_sample
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("web")).otherwise(F.lit("ref")).alias("tier"),
+    )
+    lo = stratified_hash_sample(
+        docs, "tier", {"web": 0.2, "ref": 1.0}, "doc_id"
+    ).toPandas()
+    hi = stratified_hash_sample(
+        docs, "tier", {"web": 0.5, "ref": 1.0}, "doc_id"
+    ).toPandas()
+    again = stratified_hash_sample(
+        docs, "tier", {"web": 0.2, "ref": 1.0}, "doc_id"
+    ).toPandas()
+    # rate 1.0 keeps every ref row; rate 0 (default) would keep none
+    assert (lo["tier"] == "ref").sum() == 1000
+    # deterministic: identical kept set across runs
+    assert sorted(lo["doc_id"]) == sorted(again["doc_id"])
+    # monotone: the 20% web sample is a subset of the 50% one
+    web_lo = set(lo.loc[lo["tier"] == "web", "doc_id"])
+    web_hi = set(hi.loc[hi["tier"] == "web", "doc_id"])
+    assert web_lo <= web_hi
+    # rates land near the target (md5 uniformity; 1000 draws)
+    assert 120 <= len(web_lo) <= 280 and 420 <= len(web_hi) <= 580
+    # different salt -> different (but equally sized-ish) membership
+    other = stratified_hash_sample(
+        docs, "tier", {"web": 0.2, "ref": 1.0}, "doc_id", salt="mix-v2"
+    ).toPandas()
+    assert set(other.loc[other["tier"] == "web", "doc_id"]) != web_lo
