@@ -3190,6 +3190,26 @@ def corpus_mix_sample(spark, sf_dir):
     )
 
 
+@register("bpe_train_merges")
+def bpe_train_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (bpe.train_bpe): one corpus
+    word-count pass, then 8 merge rounds over the O(vocabulary) word
+    table — pair counts and merge application all JVM-side, one scalar
+    (the winning pair) to the driver per round.  Iterative and
+    inherently non-SQL-expressible, so rows-only here; exact parity
+    with a pure-Python Sennrich reference is pinned in
+    tests/test_bpe.py."""
+    from osm_chordify_spark.operators import bpe as B
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    wf = B.word_frequencies(docs, top_words=2000)
+    merges = B.train_bpe(wf, 8)
+    rows = [
+        (i, left, right, left + right) for i, (left, right) in enumerate(merges)
+    ]
+    return spark.createDataFrame(rows, "rank int, left string, right string, merged string")
+
+
 @register(
     "url_canonicalization",
     oracle="""
