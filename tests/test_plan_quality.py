@@ -139,3 +139,25 @@ def test_host_link_pagerank_all_jvm_no_cartesian(spark):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan  # map-side combine on edge weights
+
+
+def test_paragraph_dedup_map_side_min_no_cartesian(spark):
+    """CCNet paragraph dedup: the first-occurrence winner is an
+    AGGREGATE (partial_min on every input partition), never a window
+    over the paragraph hash — a cookie banner duplicated across 10^9
+    pages partially reduces map-side instead of flooding one reducer."""
+    plan = _plan(spark, "paragraph_dedup_first")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_corpus_mix_sample_pure_codegen_filter(spark):
+    """Stratified hash sampling is a scan + codegen filter: the md5
+    membership test never shuffles, never leaves the JVM, and the only
+    exchange in the whole query belongs to the reporting groupBy."""
+    plan = _plan(spark, "corpus_mix_sample")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg only (+AQE read)
+    assert "md5" in plan and "Filter" in plan
