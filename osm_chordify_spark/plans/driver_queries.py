@@ -1564,6 +1564,23 @@ def events_value_histogram(spark, sf_dir):
     return _DG.link_length_histogram(ev, bucket_m=25.0, max_m=500.0)
 
 
+from osm_chordify_spark.operators import sketch as _SK
+
+
+@register(
+    "kmv_distinct_users_per_event_type",
+    oracle=_SK.kmv_oracle_sql("events", "user_id", ["event_type"], k=64),
+)
+def kmv_distinct_users_per_event_type(spark, sf_dir):
+    """Beyond-reference corpus profiling: KMV distinct-count sketch of
+    users per event type (operators/sketch.py).  k=64 < the 150 true
+    distinct users, so the ESTIMATOR path is what the oracle gates —
+    the 52-bit md5 hash + bigint arithmetic replays identically in
+    DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    return _SK.kmv_distinct(ev, "user_id", ["event_type"], k=64)
+
+
 @register(
     "token_frequency_by_lang",
     oracle="""
@@ -3396,7 +3413,7 @@ _WINDOW_FIRST = [
     "warc_multi_crawl_pages", "acs_census_load", "zone_intersect_polygons",
     "polygon_union_area_by_nation", "spatial_left_join",
     "spatial_left_join_dist", "chordify_contraction", "graph_components",
-    "edge_id_hash", "knn_segment_match", "dedup_exact",
+    "kmv_distinct_users_per_event_type", "knn_segment_match", "dedup_exact",
     "ngram_jaccard_pairs", "bigram_rarity_profile", "exact_substring_dedup",
     "minhash_lsh_dedup", "paragraph_dedup_first", "text_analysis",
     "quality_scores", "ann_cosine_topk", "ann_ivf_topk", "corpus_mix_sample",

@@ -1,0 +1,72 @@
+"""KMV distinct-count sketch (operators/sketch.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_chordify_spark.operators.sketch import kmv_distinct, kmv_merge
+
+
+def _toy(spark, groups):
+    """groups: dict group_name -> n_distinct; 3 duplicate rows per key."""
+    rows = [
+        (g, f"{g}:key{i}")
+        for g, n in groups.items()
+        for i in range(n)
+        for _ in range(3)
+    ]
+    return spark.createDataFrame(rows, "grp string, key string")
+
+
+def test_exact_below_k(spark):
+    df = _toy(spark, {"a": 30, "b": 63})
+    out = {
+        r["grp"]: r
+        for r in kmv_distinct(df, "key", ["grp"], k=64).collect()
+    }
+    assert out["a"]["distinct_est"] == 30 and out["a"]["n_kept"] == 30
+    assert out["b"]["distinct_est"] == 63 and out["b"]["n_kept"] == 63
+
+
+def test_estimator_accuracy(spark):
+    # 5000 distinct, k=256 → std err ~1/sqrt(254) ≈ 6.3%; allow 4σ.
+    df = _toy(spark, {"big": 5000})
+    row = kmv_distinct(df, "key", ["grp"], k=256).collect()[0]
+    assert row["n_kept"] == 256
+    assert abs(row["distinct_est"] - 5000) / 5000 < 0.25
+
+
+def test_duplicates_do_not_inflate(spark):
+    once = _toy(spark, {"a": 500})
+    thrice = once.union(once).union(once)
+    a = kmv_distinct(once, "key", ["grp"], k=64).collect()[0]
+    b = kmv_distinct(thrice, "key", ["grp"], k=64).collect()[0]
+    assert (a["distinct_est"], a["kth_hash"]) == (b["distinct_est"], b["kth_hash"])
+
+
+def test_merge_equals_whole(spark):
+    """Shard the input, sketch each shard with keep_hashes, merge —
+    bit-identical to sketching the concatenation (KMV merge theorem)."""
+    df = _toy(spark, {"a": 900, "b": 40}).withColumn(
+        "shard", F.crc32(F.col("key")) % 4
+    )
+    shard_states = kmv_distinct(df, "key", ["grp", "shard"], k=64, keep_hashes=True)
+    merged = {
+        r["grp"]: r
+        for r in kmv_merge(shard_states, ["grp"], k=64).collect()
+    }
+    whole = {
+        r["grp"]: r
+        for r in kmv_distinct(df, "key", ["grp"], k=64).collect()
+    }
+    for g in ("a", "b"):
+        assert merged[g]["distinct_est"] == whole[g]["distinct_est"]
+        assert merged[g]["kth_hash"] == whole[g]["kth_hash"]
+        assert merged[g]["n_kept"] == whole[g]["n_kept"]
+
+
+def test_k_bounds(spark):
+    df = _toy(spark, {"a": 5})
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "key", ["grp"], k=1)
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "key", ["grp"], k=4096)
