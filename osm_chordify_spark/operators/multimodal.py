@@ -25,6 +25,10 @@ Operators:
                           payload (real byte math, stub pixel decode)
 * media_feature_vector  — fixed-length byte-histogram feature (real
                           math — usable for the ANN operators)
+* synthesize_wav_media /
+  decode_audio_features — REAL RIFF/WAVE PCM16 codec path
+                          (functions/wav.py); lossy audio (MP3/AAC)
+                          stays stubbed (null rows) like non-PNG images
 """
 
 from __future__ import annotations
@@ -226,3 +230,87 @@ def sample_frames(df: DataFrame, media_col: str = "media",
                 F.col("frame.frame").alias("frame_bytes"))
         .drop("frame")
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: real RIFF/WAVE PCM16 path (functions/wav.py), PNG-style contract
+
+
+def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL WAV payloads for the audio-decode path.
+
+    Sample values are a closed-form function of (id, channel, index):
+    ``((id*7349 + ch*131071 + i*104729) % 65536) - 32768`` — pure
+    bigint arithmetic, so an SQL oracle can re-derive every decoded
+    feature without ever touching the codec (mirrors the PNG fixture
+    discipline).  Mono/stereo, sample-rate and length all vary by id
+    so the decoder's fmt/data parsing is actually load-bearing.
+    """
+    from osm_chordify_spark.functions import wav as _wav
+
+    @F.pandas_udf("binary")
+    def make(ids: pd.Series) -> pd.Series:
+        out = []
+        for raw in ids:
+            i = int(raw)
+            n = 400 + (i % 7) * 53
+            channels = 1 + i % 2
+            rate = 8000 * (1 + i % 3)
+            idx = np.arange(n, dtype=np.int64)
+            chans = [
+                ((i * 7349 + ch * 131071 + idx * 104729) % 65536) - 32768
+                for ch in range(channels)
+            ]
+            samples = np.stack(chans, axis=1).astype(np.int16)
+            out.append(_wav.encode_wav(samples, sample_rate=rate))
+        return pd.Series(out)
+
+    return df.withColumn("media", make(F.col(id_col)))
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "channel bigint, sample_rate bigint, n_samples bigint, "
+    "peak_abs bigint, sum_abs bigint, zero_crossings bigint"
+)
+
+
+def decode_audio_features(df: DataFrame, media_col: str = "media",
+                          id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode: WAV bytes → one row per (id, channel) of
+    integer features (peak/sum of |s|, strict sign-flip zero
+    crossings).  All-bigint output hashes identically in any engine.
+    Malformed payloads (ValueError from the codec) yield ONE null-
+    feature row per id — a corrupt crawl payload never kills the job.
+    """
+    from osm_chordify_spark.functions import wav as _wav
+
+    out_schema = f"{id_col} bigint, {AUDIO_FEATURE_SCHEMA}"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[media_col]):
+                i = int(i)
+                try:
+                    if b is None:
+                        raise ValueError("null payload")
+                    arr, rate = _wav.decode_wav(bytes(b))
+                except ValueError:
+                    rows.append((i, None, None, None, None, None, None))
+                    continue
+                a64 = arr.astype(np.int64)
+                for ch in range(arr.shape[1]):
+                    v = a64[:, ch]
+                    rows.append((
+                        i, ch, rate, len(v),
+                        int(np.max(np.abs(v))) if len(v) else 0,
+                        int(np.sum(np.abs(v))),
+                        int(np.sum(v[1:] * v[:-1] < 0)),
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "channel", "sample_rate", "n_samples",
+                         "peak_abs", "sum_abs", "zero_crossings"],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(kernel, out_schema)

@@ -1948,6 +1948,51 @@ def media_png_decode(spark, sf_dir):
     )
 
 
+@register(
+    "media_wav_features",
+    # REAL audio codec under the gate: payloads are genuine RIFF/WAVE
+    # PCM16 files (functions/wav.py encoder; mono/stereo, varying rate
+    # and length) and the query runs the from-scratch decoder.  The
+    # oracle re-derives every feature from the closed-form sample
+    # formula with pure bigint SQL — it never sees a byte of WAV — so
+    # any framing/de-interleave/fmt-parse bug breaks the hash.
+    oracle="""
+with chans as (
+  select doc_id, unnest(range(1 + doc_id % 2)) as ch from documents
+), vals as (
+  select doc_id, ch, i,
+         ((doc_id * 7349 + ch * 131071 + i * 104729) % 65536) - 32768 as v
+  from (
+    select doc_id, ch,
+           unnest(range(400 + (doc_id % 7) * 53)) as i
+    from chans
+  )
+), lagged as (
+  select doc_id, ch, i, v,
+         lag(v) over (partition by doc_id, ch order by i) as prev
+  from vals
+)
+select doc_id, cast(ch as bigint) as channel,
+       cast(8000 * (1 + doc_id % 3) as bigint) as sample_rate,
+       cast(count(*) as bigint) as n_samples,
+       cast(max(abs(v)) as bigint) as peak_abs,
+       cast(sum(abs(v)) as bigint) as sum_abs,
+       cast(sum(case when prev is not null and v * prev < 0
+                then 1 else 0 end) as bigint) as zero_crossings
+from lagged group by doc_id, ch
+""",
+)
+def media_wav_features(spark, sf_dir):
+    """Real WAV decode over Arrow-batched binary payloads — the audio
+    half of the multimodal surface (operators/multimodal.py,
+    functions/wav.py)."""
+    from osm_chordify_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = MM.synthesize_wav_media(docs)
+    return MM.decode_audio_features(media)
+
+
 _VALIDATION_TABLES_SQL = """
 with nodes as (
   select c_custkey as node_id,
@@ -3420,7 +3465,7 @@ _WINDOW_FIRST = [
     "edge_quality_summary", "events_value_histogram",
     "token_frequency_by_lang", "process_tags_pipeline",
     "host_link_pagerank", "density_boundary_filter",
-    "add_edge_speeds", "events_sessionization", "embedding_cosine_dedup",
+    "media_wav_features", "events_sessionization", "embedding_cosine_dedup",
     "media_decode_features", "media_png_decode", "graph_validation_summary",
     "pages_nearest_zone", "pages_nearest_zone_163k_dist",
     "raster_zonal_stats_100k_dist", "knn_true_segment_match",
