@@ -1,4 +1,4 @@
-"""KMV (k-minimum-values) distinct-count sketch.
+"""Engine-replayable sketches: KMV distinct-count + count-min frequency.
 
 The engine-portable alternative to HyperLogLog for per-group
 cardinality estimation: keep the k smallest 52-bit md5-derived hashes
@@ -135,3 +135,86 @@ select {groups},
             end as bigint) as distinct_est
 from topk group by {groups}
 """
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan): frequency estimation
+
+
+def _cms_col(key: Column, row_idx: int, width: int) -> Column:
+    """Column index of ``key`` in sketch row ``row_idx`` — the same
+    52-bit md5 family as KMV, salted per row.  DuckDB replay:
+    ``('0x' || substr(md5('cms' || d || ':' || cast(x as varchar)), 1,
+    13))::bigint % width``."""
+    salted = F.concat(F.lit(f"cms{row_idx}:"), key.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, _HASH_HEX_CHARS), 16, 10)
+        .cast("bigint") % width
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of ``key_col``: ``(row_idx, col_idx, cnt)``
+    counter cells, at most ``depth * width`` rows total.
+
+    Pure sums → order-independent, engine-replayable, and mergeable
+    by construction (:func:`cms_merge` just re-sums cells).  Scale
+    shape: one map-side-combinable aggregate over the input; the
+    resulting counter table is tiny (KB), so estimation joins against
+    it broadcast."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    key = F.col(key_col)
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).cast("int").alias("row_idx"),
+            _cms_col(key, d, width).alias("col_idx"),
+        )
+        for d in range(depth)
+    ])
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row_idx").alias("row_idx"),
+                 F.col("c.col_idx").alias("col_idx"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(counters: DataFrame) -> DataFrame:
+    """Merge per-shard sketches (same depth/width): sum cells."""
+    return (
+        counters.groupBy("row_idx", "col_idx")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, keys: DataFrame, key_col: str,
+    depth: int = 4, width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each row of ``keys``: the classic
+    ``min`` over the key's ``depth`` cells (0 where the cell is empty).
+    Never underestimates; overestimate probability shrinks
+    exponentially in ``depth``.  The counter side is broadcast —
+    estimation adds NO shuffle beyond the per-key agg."""
+    from pyspark.sql.functions import broadcast
+
+    key = F.col(key_col)
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).cast("int").alias("row_idx"),
+            _cms_col(key, d, width).alias("col_idx"),
+        )
+        for d in range(depth)
+    ])
+    probes = keys.select(key_col, F.explode(cells).alias("c")).select(
+        key_col, "c.row_idx", "c.col_idx"
+    )
+    return (
+        probes.join(broadcast(counters), ["row_idx", "col_idx"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint")
+             .alias("est_count"))
+    )

@@ -1582,6 +1582,37 @@ def kmv_distinct_users_per_event_type(spark, sf_dir):
 
 
 @register(
+    "cms_user_frequencies",
+    # width 64 < the 150 distinct users, so cells genuinely collide —
+    # the min-over-depth estimator (not a trivial exact count) is what
+    # the oracle replays.
+    oracle="""
+with probes as (
+  select user_id, row_idx,
+         ('0x' || substr(md5('cms' || row_idx || ':' || cast(user_id as varchar)), 1, 13))::bigint % 64 as col_idx
+  from (select user_id, unnest(range(3)) as row_idx from events)
+), counters as (
+  select row_idx, col_idx, count(*) as cnt from probes group by 1, 2
+), keys as (
+  select distinct user_id, row_idx, col_idx from probes
+)
+select k.user_id, cast(min(c.cnt) as bigint) as est_count
+from keys k join counters c using (row_idx, col_idx)
+group by k.user_id
+""",
+)
+def cms_user_frequencies(spark, sf_dir):
+    """Beyond-reference corpus profiling: count-min sketch of event
+    frequencies per user (operators/sketch.py) — build the counter
+    cells, then point-query every distinct user through the broadcast
+    sketch."""
+    ev = _t(spark, sf_dir, "events")
+    counters = _SK.cms_build(ev, "user_id", depth=3, width=64)
+    keys = ev.select("user_id").distinct()
+    return _SK.cms_estimate(counters, keys, "user_id", depth=3, width=64)
+
+
+@register(
     "token_frequency_by_lang",
     oracle="""
 select lang, token, n as count from (
@@ -3462,7 +3493,7 @@ _WINDOW_FIRST = [
     "ngram_jaccard_pairs", "bigram_rarity_profile", "exact_substring_dedup",
     "minhash_lsh_dedup", "paragraph_dedup_first", "text_analysis",
     "quality_scores", "ann_cosine_topk", "ann_ivf_topk", "corpus_mix_sample",
-    "edge_quality_summary", "events_value_histogram",
+    "edge_quality_summary", "cms_user_frequencies",
     "token_frequency_by_lang", "process_tags_pipeline",
     "host_link_pagerank", "density_boundary_filter",
     "media_wav_features", "events_sessionization", "embedding_cosine_dedup",

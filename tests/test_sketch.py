@@ -70,3 +70,76 @@ def test_k_bounds(spark):
         kmv_distinct(df, "key", ["grp"], k=1)
     with pytest.raises(ValueError):
         kmv_distinct(df, "key", ["grp"], k=4096)
+
+
+# ---------------------------------------------------------------------------
+# count-min
+
+
+def _true_counts(spark, df):
+    return {
+        r["key"]: r["n"]
+        for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def _freq_df(spark):
+    """Zipf-ish: key i appears i times, i in 1..40."""
+    rows = [(f"k{i}",) for i in range(1, 41) for _ in range(i)]
+    return spark.createDataFrame(rows, "key string")
+
+
+def test_cms_never_underestimates_and_exact_when_wide(spark):
+    from osm_chordify_spark.operators.sketch import cms_build, cms_estimate
+
+    df = _freq_df(spark)
+    keys = df.select("key").distinct()
+    true = _true_counts(spark, df)
+
+    narrow = cms_estimate(cms_build(df, "key", 3, 16), keys, "key", 3, 16)
+    est = {r["key"]: r["est_count"] for r in narrow.collect()}
+    assert all(est[k] >= true[k] for k in true)
+    assert any(est[k] > true[k] for k in true)  # width 16 < 40 keys: collisions
+
+    wide = cms_estimate(cms_build(df, "key", 4, 4096), keys, "key", 4, 4096)
+    est_w = {r["key"]: r["est_count"] for r in wide.collect()}
+    assert est_w == true
+
+
+def test_cms_absent_key_estimate_is_bounded(spark):
+    from osm_chordify_spark.operators.sketch import cms_build, cms_estimate
+
+    df = _freq_df(spark)
+    counters = cms_build(df, "key", 4, 4096)
+    ghost = spark.createDataFrame([("never-seen",)], "key string")
+    [row] = cms_estimate(counters, ghost, "key", 4, 4096).collect()
+    assert 0 <= row["est_count"] <= 3  # w >> n: almost surely empty cell
+
+
+def test_cms_merge_equals_whole(spark):
+    from osm_chordify_spark.operators.sketch import (
+        cms_build, cms_estimate, cms_merge,
+    )
+
+    df = _freq_df(spark).withColumn("shard", F.crc32("key") % 3)
+    shards = [
+        cms_build(df.filter(F.col("shard") == s), "key", 3, 32)
+        for s in range(3)
+    ]
+    merged = cms_merge(shards[0].union(shards[1]).union(shards[2]))
+    keys = df.select("key").distinct()
+    a = {r["key"]: r["est_count"]
+         for r in cms_estimate(merged, keys, "key", 3, 32).collect()}
+    b = {r["key"]: r["est_count"]
+         for r in cms_estimate(cms_build(df, "key", 3, 32), keys, "key", 3, 32).collect()}
+    assert a == b
+
+
+def test_cms_param_bounds(spark):
+    from osm_chordify_spark.operators.sketch import cms_build
+
+    df = _freq_df(spark)
+    with pytest.raises(ValueError):
+        cms_build(df, "key", depth=0)
+    with pytest.raises(ValueError):
+        cms_build(df, "key", width=1)
