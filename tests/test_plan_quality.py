@@ -161,3 +161,39 @@ def test_corpus_mix_sample_pure_codegen_filter(spark):
     assert "MapInPandas" not in plan
     assert plan.count("Exchange") <= 2  # partial->final agg only (+AQE read)
     assert "md5" in plan and "Filter" in plan
+
+
+def test_kmv_sketch_all_jvm_bounded_shuffles(spark):
+    """KMV: hash + distinct + top-k window + tiny agg — everything in
+    the JVM (md5/conv are codegen), no Python crossing, no cartesian,
+    and the heavy shuffle input is ALREADY-DISTINCT (group, hash) pairs
+    with a map-side partial."""
+    plan = _plan(spark, "kmv_distinct_users_per_event_type")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "md5" in plan
+    assert "HashAggregate" in plan  # distinct runs as aggregate w/ partials
+
+
+def test_cms_build_one_shuffle_estimate_broadcasts(spark):
+    """Count-min: the build is ONE map-side-combinable aggregate over
+    the exploded cells; estimation joins the tiny counter table
+    BROADCAST (never a shuffled join) and finishes with the per-key
+    min agg."""
+    plan = _plan(spark, "cms_user_frequencies")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_wav_decode_single_arrow_pass(spark):
+    """Audio decode: synth and decode are each ONE Arrow crossing, no
+    shuffle anywhere — the whole query is embarrassingly parallel
+    (scan → pandas_udf encode → mapInPandas decode)."""
+    plan = _plan(spark, "media_wav_features")
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 1  # the synth pandas_udf
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
