@@ -3470,6 +3470,67 @@ def host_link_pagerank(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# data layout: space-filling-curve codes (SURVEY §2 scan-pruning story)
+
+def _zorder_oracle() -> str:
+    from osm_chordify_spark.functions.curves import morton_from_cell_sql
+
+    return f"""
+with c as (
+  select doc_id, {cell_sql(P.LON_SQL, P.LAT_SQL, 10)} as cell
+  from documents
+), z as (
+  select doc_id, cell, {morton_from_cell_sql('cell')} as zorder from c
+)
+select cast(zorder >> 12 as bigint) as z_bucket,
+       cast(count(*) as bigint) as n_docs,
+       cast(min(zorder) as bigint) as z_lo,
+       cast(max(zorder) as bigint) as z_hi,
+       cast(count(distinct cell) as bigint) as n_cells
+from z group by 1
+"""
+
+
+def _register_zorder():
+    @register("zorder_cluster_codes", oracle=_zorder_oracle())
+    def zorder_cluster_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Z-order (Morton) layout codes over the crawled-pages point set.
+
+        The reference keeps its tile table sorted by packed cell id
+        (row-major x-stripes); at 100 TB that layout makes any 2-D
+        window touch files across the whole table.  The Spark-first
+        answer is the lakehouse Z-ORDER trick: interleave the cell's
+        ix/iy bits (`functions/curves.py`, pure bigint shift/mask rounds
+        — whole-stage codegen, replayed verbatim by the DuckDB oracle)
+        and range-partition on the code (`sources/layout.write_clustered`),
+        so every parquet file covers one tight z-range and footer
+        min/max stats prune the rest.  The gate checks the CODES (and
+        the per-z-bucket range structure the pruning relies on);
+        file-layout behavior is pinned in tests/test_layout.py.
+        """
+        from osm_chordify_spark.sources.layout import with_morton
+
+        pts = _t(spark, sf_dir, "documents").select(
+            "doc_id", P.lon_col().alias("lon"), P.lat_col().alias("lat")
+        )
+        z = with_morton(pts, "lon", "lat", 10)
+        from osm_chordify_spark.functions.cells import cell_expr
+
+        z = z.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), 10))
+        return z.groupBy(
+            F.shiftright("zorder", 12).cast("long").alias("z_bucket")
+        ).agg(
+            F.count("*").alias("n_docs"),
+            F.min("zorder").alias("z_lo"),
+            F.max("zorder").alias("z_hi"),
+            F.countDistinct("cell").alias("n_cells"),
+        )
+
+
+_register_zorder()
+
+
+# ---------------------------------------------------------------------------
 # Driver-window curation (VERDICT r4 item 1b): the driver's CORRECTNESS
 # artifact snapshots the FIRST 50 registered queries.  Order the
 # registry so that window carries the highest-signal set — the flagship
@@ -3496,10 +3557,11 @@ _WINDOW_FIRST = [
     "edge_quality_summary", "cms_user_frequencies",
     "token_frequency_by_lang", "process_tags_pipeline",
     "host_link_pagerank", "density_boundary_filter",
-    "media_wav_features", "events_sessionization", "embedding_cosine_dedup",
+    "media_wav_features", "embedding_cosine_dedup",
     "media_decode_features", "media_png_decode", "graph_validation_summary",
     "pages_nearest_zone", "pages_nearest_zone_163k_dist",
     "raster_zonal_stats_100k_dist", "knn_true_segment_match",
+    "zorder_cluster_codes",
 ]
 
 

@@ -1,0 +1,210 @@
+"""Z-order (Morton) codes + clustered parquet layout.
+
+Reference behavior: the reference engine keeps its tile table sorted by
+packed cell id (row-major stripes); the Spark-first design adds a
+space-filling-curve layout so file-level min/max footer stats prune 2-D
+windows (`sources/layout.py` docstring).  Correctness never depends on
+file boundaries — only codes are value-checked.
+"""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_chordify_spark.functions.curves import (
+    morton_expr,
+    morton_from_cell_expr,
+    morton_from_cell_sql,
+    morton_sql,
+    spread_bits_expr,
+)
+from osm_chordify_spark.functions.cells import cell_expr, cell_sql
+from osm_chordify_spark.sources.layout import with_morton, write_clustered
+
+
+def _py_spread(v: int) -> int:
+    out = 0
+    for k in range(32):
+        if v & (1 << k):
+            out |= 1 << (2 * k)
+    return out
+
+
+def _py_morton(ix: int, iy: int) -> int:
+    return (_py_spread(ix) << 1) | _py_spread(iy)
+
+
+def test_morton_matches_bitwise_reference(spark):
+    vals = [0, 1, 2, 3, 7, 1023, 2**20 + 12345, 2**29 - 1]
+    df = spark.createDataFrame(
+        [(ix, iy) for ix in vals for iy in vals], "ix: long, iy: long"
+    )
+    got = (
+        df.withColumn("z", morton_expr(F.col("ix"), F.col("iy")))
+        .orderBy("ix", "iy")
+        .collect()
+    )
+    for row in got:
+        assert row.z == _py_morton(row.ix, row.iy), (row.ix, row.iy)
+
+
+def test_spread_is_monotonic_and_invertible(spark):
+    df = spark.range(0, 5000).withColumn(
+        "s", spread_bits_expr(F.col("id"))
+    )
+    rows = df.orderBy("id").collect()
+    seen = set()
+    prev = -1
+    for r in rows:
+        assert r.s == _py_spread(r.id)
+        assert r.s > prev  # strictly increasing → order-preserving
+        prev = r.s
+        seen.add(r.s)
+    assert len(seen) == len(rows)
+
+
+def test_morton_sql_replays_in_duckdb(spark, duck):
+    import random
+
+    rnd = random.Random(7)
+    pts = [
+        (rnd.randrange(2**29), rnd.randrange(2**29)) for _ in range(500)
+    ]
+    df = spark.createDataFrame(pts, "ix: long, iy: long")
+    got = {
+        (r.ix, r.iy): r.z
+        for r in df.withColumn(
+            "z", morton_expr(F.col("ix"), F.col("iy"))
+        ).collect()
+    }
+    duck.execute("create or replace table _mpts (ix bigint, iy bigint)")
+    duck.executemany("insert into _mpts values (?, ?)", pts)
+    want = duck.execute(
+        f"select ix, iy, {morton_sql('ix', 'iy')} as z from _mpts"
+    ).fetchall()
+    for ix, iy, z in want:
+        assert got[(ix, iy)] == z
+
+
+def test_morton_from_cell_sql_parity(spark, duck):
+    from osm_chordify_spark.operators import pages as P
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", P.lon_col().alias("lon"), P.lat_col().alias("lat"))
+        .withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), 10))
+        .withColumn("z", morton_from_cell_expr(F.col("cell")))
+        .select("doc_id", "z")
+    )
+    got = {r.doc_id: r.z for r in df.collect()}
+    want = duck.execute(
+        f"""
+        with c as (
+          select doc_id, {cell_sql(P.LON_SQL, P.LAT_SQL, 10)} as cell
+          from documents
+        )
+        select doc_id, {morton_from_cell_sql('cell')} as z from c
+        """
+    ).fetchall()
+    assert len(want) == len(got)
+    for doc_id, z in want:
+        assert got[doc_id] == z
+
+
+def _points(spark, sf="sf0.001"):
+    from osm_chordify_spark.operators import pages as P
+
+    return (
+        spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        .select(
+            "doc_id", P.lon_col().alias("lon"), P.lat_col().alias("lat")
+        )
+    )
+
+
+def test_morton_stays_jvm_side(spark):
+    df = _points(spark)
+    plan = (
+        with_morton(df, "lon", "lat", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _file_lon_ranges(spark, path):
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        r = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("lon").alias("lo_lon"),
+                F.max("lon").alias("hi_lon"),
+                F.min("lat").alias("lo_lat"),
+                F.max("lat").alias("hi_lat"),
+            )
+            .collect()[0]
+        )
+        out.append((f, r.lo_lon, r.hi_lon, r.lo_lat, r.hi_lat))
+    return out
+
+
+def test_write_clustered_disjoint_z_ranges_and_pruning(spark, tmp_path):
+    points = _points(spark, "sf0.01")
+    clustered = str(tmp_path / "clustered")
+    naive = str(tmp_path / "naive")
+    write_clustered(
+        points, clustered, "lon", "lat", res=10, n_files=8, keep_code=True
+    )
+    points.repartition(8).write.parquet(naive)
+
+    # content identical to the input (layout is performance-only)
+    back = spark.read.parquet(clustered)
+    assert back.count() == points.count()
+    assert (
+        back.select("doc_id").exceptAll(points.select("doc_id")).count()
+        == 0
+    )
+
+    # per-file zorder ranges are disjoint (range partitioner boundaries)
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(clustered, "part-*.parquet"))):
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("zorder").alias("lo"), F.max("zorder").alias("hi"))
+            .collect()[0]
+        )
+        if r.lo is not None:
+            ranges.append((r.lo, r.hi))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo2
+
+    # a small window's bbox intersects far fewer clustered files than
+    # naive ones — this is exactly what parquet footer stats prune on
+    def touching(path, w):
+        lo_lon, hi_lon, lo_lat, hi_lat = w
+        n = 0
+        for _, a, b, c, d in _file_lon_ranges(spark, path):
+            if a is None:
+                continue
+            if b >= lo_lon and a <= hi_lon and d >= lo_lat and c <= hi_lat:
+                n += 1
+        return n
+
+    row = points.agg(
+        F.percentile_approx("lon", 0.5).alias("ml"),
+        F.percentile_approx("lat", 0.5).alias("mt"),
+    ).collect()[0]
+    window = (row.ml, row.ml + 2.0, row.mt, row.mt + 2.0)
+    assert touching(clustered, window) < touching(naive, window)
+
+
+def test_write_clustered_drops_code_by_default(spark, tmp_path):
+    path = str(tmp_path / "nocode")
+    write_clustered(_points(spark), path, "lon", "lat", res=9, n_files=4)
+    assert "zorder" not in spark.read.parquet(path).columns
