@@ -167,6 +167,8 @@ def run_relational(spark: SparkSession, sf_dir: str) -> dict:
         "raster_vectorize_regions",
         "warc_multi_crawl_pages",
         "shapefile_many_zone_intersect",
+        "zorder_cluster_codes",
+        "clustered_pruned_scan",
     )
     qs = m.queries()
     heavy = {

@@ -3530,6 +3530,65 @@ def _register_zorder():
 _register_zorder()
 
 
+def _pruned_scan_oracle() -> str:
+    return f"""
+with c as (
+  select doc_id, {P.LON_SQL} as lon, {P.LAT_SQL} as lat from documents
+)
+select {cell_sql('lon', 'lat', 8)} as cell_r8,
+       cast(count(*) as bigint) as n_docs,
+       cast(min(doc_id) as bigint) as min_doc,
+       cast(max(doc_id) as bigint) as max_doc
+from c
+where lon >= -123e0 and lon <= -121e0 and lat >= 36e0 and lat <= 39e0
+group by 1
+"""
+
+
+def _register_pruned_scan():
+    @register("clustered_pruned_scan", oracle=_pruned_scan_oracle())
+    def clustered_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Manifest-pruned scan over a Z-clustered table.
+
+        The pages point set is written once as a Z-ordered parquet
+        table with an Iceberg-manifest-style per-file stats index
+        (`sources/layout.write_zone_manifest`, built in one distributed
+        input_file_name() pass), then a bbox window is read back
+        through `read_clustered`, which drops non-overlapping files
+        from the scan BEFORE Spark lists them.  Pruning is
+        performance-only: the exact bbox filter is also pushed to the
+        scan, so the per-cell rollup must match a plain filtered
+        aggregate — which is exactly what the DuckDB oracle computes,
+        independent of file boundaries."""
+        import os
+        import tempfile
+
+        from osm_chordify_spark.functions.cells import cell_expr
+        from osm_chordify_spark.sources.layout import (
+            read_clustered,
+            write_clustered,
+        )
+
+        pts = _t(spark, sf_dir, "documents").select(
+            "doc_id", P.lon_col().alias("lon"), P.lat_col().alias("lat")
+        )
+        path = os.path.join(tempfile.gettempdir(), "spark_graft_zcluster")
+        write_clustered(pts, path, "lon", "lat", res=10, n_files=16)
+        win = read_clustered(
+            spark, path, (-123.0, -121.0), (36.0, 39.0)
+        )
+        return win.groupBy(
+            cell_expr(F.col("lon"), F.col("lat"), 8).alias("cell_r8")
+        ).agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+
+
+_register_pruned_scan()
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation (VERDICT r4 item 1b): the driver's CORRECTNESS
 # artifact snapshots the FIRST 50 registered queries.  Order the

@@ -204,6 +204,67 @@ def test_write_clustered_disjoint_z_ranges_and_pruning(spark, tmp_path):
     assert touching(clustered, window) < touching(naive, window)
 
 
+def test_manifest_pruned_read_parity(spark, tmp_path):
+    from osm_chordify_spark.sources.layout import (
+        MANIFEST_NAME,
+        pruned_file_count,
+        read_clustered,
+    )
+
+    points = _points(spark, "sf0.01")
+    path = str(tmp_path / "tbl")
+    write_clustered(points, path, "lon", "lat", res=10, n_files=16)
+    assert os.path.exists(os.path.join(path, MANIFEST_NAME))
+
+    lon_r, lat_r = (-122.5, -121.5), (36.5, 38.5)
+    got = read_clustered(spark, path, lon_r, lat_r)
+    want = points.filter(
+        (F.col("lon") >= lon_r[0]) & (F.col("lon") <= lon_r[1])
+        & (F.col("lat") >= lat_r[0]) & (F.col("lat") <= lat_r[1])
+    )
+    assert want.count() > 0
+    assert got.count() == want.count()
+    assert (
+        got.select("doc_id").exceptAll(want.select("doc_id")).count() == 0
+    )
+
+    kept, total = pruned_file_count(path, lon_r, lat_r)
+    assert kept < total  # the window genuinely skips files
+
+    # a bbox outside the data prunes EVERY file and returns empty
+    assert read_clustered(spark, path, (100.0, 110.0), (0.0, 5.0)).count() == 0
+
+
+def test_manifest_stale_and_missing_fall_back(spark, tmp_path):
+    import shutil
+
+    from osm_chordify_spark.sources.layout import (
+        MANIFEST_NAME,
+        read_clustered,
+    )
+
+    points = _points(spark)
+    path = str(tmp_path / "tbl")
+    write_clustered(points, path, "lon", "lat", res=9, n_files=4)
+    lon_r, lat_r = (-123.0, -121.0), (36.0, 39.0)
+    want = points.filter(
+        (F.col("lon") >= lon_r[0]) & (F.col("lon") <= lon_r[1])
+        & (F.col("lat") >= lat_r[0]) & (F.col("lat") <= lat_r[1])
+    ).count()
+    assert want > 0
+
+    # an extra file the manifest doesn't know about → full-scan fallback,
+    # still-correct results over the NEW directory contents
+    extra = points.filter(F.col("lon") > 0)  # empty: outside the data
+    extra.coalesce(1).write.mode("append").parquet(path)
+    assert read_clustered(spark, path, lon_r, lat_r).count() == want
+
+    # no manifest at all → plain filtered scan
+    os.remove(os.path.join(path, MANIFEST_NAME))
+    assert read_clustered(spark, path, lon_r, lat_r).count() == want
+    shutil.rmtree(path)
+
+
 def test_write_clustered_drops_code_by_default(spark, tmp_path):
     path = str(tmp_path / "nocode")
     write_clustered(_points(spark), path, "lon", "lat", res=9, n_files=4)

@@ -197,3 +197,50 @@ def test_wav_decode_single_arrow_pass(spark):
     assert plan.count("ArrowEvalPython") == 1  # the synth pandas_udf
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_clustered_write_one_shuffle_read_pushes_bbox(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from osm_chordify_spark.operators import pages as P
+    from osm_chordify_spark.sources.layout import (
+        read_clustered,
+        with_morton,
+    )
+
+    pts = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", P.lon_col().alias("lon"), P.lat_col().alias("lat"))
+    )
+    # write side: the clustering is ONE range-partitioning exchange and
+    # the morton code itself never leaves the JVM
+    coded = with_morton(pts, "lon", "lat", 10, "__z").repartitionByRange(
+        8, "__z"
+    ).sortWithinPartitions("__z")
+    wplan = coded._jdf.queryExecution().executedPlan().toString()
+    assert wplan.count("Exchange") == 1
+    assert "rangepartitioning" in wplan
+    assert "BatchEvalPython" not in wplan and "ArrowEvalPython" not in wplan
+
+    # read side: the bbox lands in PushedFilters on the parquet scan,
+    # so row groups inside surviving files are skipped too
+    path = str(tmp_path / "zt")
+    from osm_chordify_spark.sources.layout import write_clustered
+
+    write_clustered(pts, path, "lon", "lat", res=10, n_files=4)
+    rplan = (
+        read_clustered(spark, path, (-123.0, -121.0), (36.0, 39.0))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "GreaterThanOrEqual(lon,-123.0)" in rplan
+    # (the filter list is toString-truncated past lon; lat is pinned by
+    # the value-parity tests in test_layout.py)
+
+    # manifest pruning is visible in the PLAN: the scan's file index
+    # holds fewer paths than the table has files
+    import re
+
+    n_paths = int(re.search(r"InMemoryFileIndex\((\d+) paths\)", rplan).group(1))
+    assert n_paths < 4
