@@ -218,3 +218,148 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint")
              .alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — engine-replayable variant
+#
+# Complements KMV: the HLL state is m SMALL integers per group (m=64 →
+# 64 bytes, vs KMV's k 8-byte hashes), merge is a plain per-bucket MAX
+# (KMV merge must re-rank the union), and the standard error is
+# 1.04/sqrt(m).  Spark's own approx_count_distinct is HLL++ with
+# implementation-defined buckets; this one derives everything from the
+# same 52-bit md5 family as KMV/CMS, and the estimator is kept in EXACT
+# integer arithmetic (alpha as a rational, powers of two via shifts,
+# one floor division at the end), so Spark, DuckDB, and NumPy produce
+# the identical estimate — value-hash testable like the rest of the
+# sketch family.
+#
+# Deliberate scope cut: the low-cardinality linear-counting correction
+# needs ln(), which is NOT guaranteed correctly rounded cross-engine;
+# below ~3·m distinct keys use kmv_distinct (exact below k) instead.
+# The raw estimator here is the large-range regime, which is where HLL
+# earns its keep at lake scale.
+
+_HLL_ALPHA = {16: (673, 1000), 32: (697, 1000), 64: (709, 1000)}
+
+
+def _hll_params(p: int) -> tuple[int, int, int, int]:
+    """(m, max_rho, alpha_num, alpha_den) for 2^p buckets."""
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4, 14], got {p}")
+    m = 1 << p
+    max_rho = 53 - p  # the hash's remaining 52-p bits, all-zero → rho = 52-p+1
+    if m in _HLL_ALPHA:
+        alpha_num, alpha_den = _HLL_ALPHA[m]
+    else:  # m >= 128: alpha = 0.7213 / (1 + 1.079/m), kept rational
+        alpha_num, alpha_den = 7213 * m, 10000 * m + 10790
+    return m, max_rho, alpha_num, alpha_den
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Per-group HLL register table: one ``(group, bucket, register)``
+    row per OCCUPIED bucket (empty buckets are implicit zeros — the
+    estimator re-adds them, so the shipped state stays sparse).
+
+    bucket = low p bits of the 52-bit hash; register = max over keys of
+    rho(w) where w = the remaining 52-p bits and rho = #leading zeros
+    of w in that window + 1.  bit-length via length(bin(w)) — pure
+    integer/string ops, identical in DuckDB.  Scale shape: ONE
+    map-side-combinable max-aggregate; state is <= m rows per group.
+    """
+    m, max_rho, _, _ = _hll_params(p)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string"))),
+            1, _HASH_HEX_CHARS,
+        ), 16, 10,
+    ).cast("bigint")
+    w = F.shiftright(h, p)  # h // m, pure integer
+    rho = F.lit(max_rho) - F.when(w == 0, F.lit(0)).otherwise(
+        F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, (h % m).alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").cast("int").alias("register"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge per-shard register tables: per-bucket max.  Exactly the
+    sketch of the concatenated input, by the HLL merge property."""
+    return (
+        registers.groupBy(*group_cols, "bucket")
+        .agg(F.max("register").cast("int").alias("register"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Raw HLL estimate per group, in exact integer arithmetic:
+
+    est = floor( alpha_num·m²·2^R / (alpha_den·S) ),
+    S = Σ_buckets 2^(R−register)   (empty buckets contribute 2^R)
+
+    with R = max_rho.  S ≤ m·2^R ≤ 2^63 stays bigint; the numerator
+    (≤ ~1e27 at p=14) runs in decimal(38,0) — DuckDB replays it in
+    hugeint, NumPy in Python ints; one floor division, no floats."""
+    m, max_rho, alpha_num, alpha_den = _hll_params(p)
+    ssum = (
+        F.sum(F.expr(f"shiftleft(1L, {max_rho} - register)"))
+        + (F.lit(m) - F.count(F.lit(1)))
+        * F.lit(1 << max_rho).cast("bigint")
+    )
+    grouped = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        ssum.cast("decimal(38,0)").alias("__s"),
+    )
+    numer = f"cast({alpha_num} as decimal(38,0)) * {m} * {m} * cast({1 << max_rho} as decimal(38,0))"
+    return grouped.select(
+        *group_cols,
+        "n_buckets",
+        F.expr(f"cast(({numer}) div ({alpha_den} * __s) as bigint)").alias(
+            "hll_est"
+        ),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Per-group distinct-count estimate: registers → estimate."""
+    return hll_estimate(hll_registers(df, key_col, group_cols, p), group_cols, p)
+
+
+def hll_oracle_sql(
+    table_expr: str, key_sql: str, group_sql: list[str], p: int = 6
+) -> str:
+    """The DuckDB replay of :func:`hll_distinct` — same hash family,
+    same rational alpha, same floor division (hugeint where the Spark
+    side runs decimal(38,0))."""
+    m, max_rho, alpha_num, alpha_den = _hll_params(p)
+    groups = ", ".join(group_sql)
+    return f"""
+with hashed as (
+  select {groups},
+         ('0x' || substr(md5('hll:' || cast({key_sql} as varchar)), 1, {_HASH_HEX_CHARS}))::bigint as h
+  from {table_expr}
+), regs as (
+  select {groups}, h % {m} as bucket,
+         max({max_rho} - case when h // {m} = 0 then 0
+                              else length(bin(h // {m})) end) as register
+  from hashed group by {groups}, bucket
+), s as (
+  select {groups}, count(*) as n_buckets,
+         sum(1::hugeint << ({max_rho} - register))
+           + ({m} - count(*)) * (1::hugeint << {max_rho}) as ssum
+  from regs group by {groups}
+)
+select {groups}, cast(n_buckets as bigint) as n_buckets,
+       cast(({alpha_num}::hugeint * {m} * {m} * (1::hugeint << {max_rho}))
+            // ({alpha_den}::hugeint * ssum) as bigint) as hll_est
+from s
+"""

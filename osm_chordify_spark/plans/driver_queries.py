@@ -1613,6 +1613,51 @@ def cms_user_frequencies(spark, sf_dir):
 
 
 @register(
+    "hll_distinct_users_per_event_type",
+    oracle=_SK.hll_oracle_sql("events", "user_id", ["event_type"], p=6),
+)
+def hll_distinct_users_per_event_type(spark, sf_dir):
+    """Beyond-reference corpus profiling: from-scratch HyperLogLog
+    (operators/sketch.py) — m=64 registers per event type against 150
+    true distinct users, so the RAW ESTIMATOR (rational alpha, exact
+    shift/floor-div arithmetic) is what the oracle gates, not an exact
+    fallback.  State is 64 small ints per group, merged by per-bucket
+    max — the cheapest mergeable distinct sketch at lake scale."""
+    ev = _t(spark, sf_dir, "events")
+    return _SK.hll_distinct(ev, "user_id", ["event_type"], p=6)
+
+
+from osm_chordify_spark.operators import search as _SEARCH
+
+_BM25_QUERIES = [
+    ("q_hashjoin", "hash join"),
+    ("q_vecscan", "vector scan column"),
+    ("q_slow", "slow query batch window"),
+]
+
+
+@register(
+    "bm25_topk_search",
+    oracle=_SEARCH.bm25_oracle_sql(
+        "documents",
+        "(values "
+        + ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+        + ") q(query_id, query_text)",
+        k=5,
+    ),
+)
+def bm25_topk_search(spark, sf_dir):
+    """Beyond-reference corpus search: inverted-index BM25 top-5 per
+    query over the documents table (operators/search.py).  Integer-
+    exact scoring (k1=6/5, b=3/4 folded into one rational; log-free
+    idf) makes the ranked result value-hash gateable; the plan prunes
+    postings to broadcast query terms before the only wide shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    return _SEARCH.bm25_topk(docs, qs, k=5)
+
+
+@register(
     "token_frequency_by_lang",
     oracle="""
 select lang, token, n as count from (

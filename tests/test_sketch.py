@@ -143,3 +143,99 @@ def test_cms_param_bounds(spark):
         cms_build(df, "key", depth=0)
     with pytest.raises(ValueError):
         cms_build(df, "key", width=1)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (hll_*)
+
+
+def test_hll_accuracy_and_duckdb_parity(spark):
+    """The whole point of the from-scratch HLL: Spark and DuckDB produce
+    the IDENTICAL integer estimate (exact rational-alpha arithmetic), and
+    the estimate lands within the published error band."""
+    import duckdb
+    import pandas as pd
+
+    from osm_chordify_spark.operators.sketch import hll_distinct, hll_oracle_sql
+
+    rows = [(f"g{i % 2}", f"{i % 2}:key{i}") for i in range(8000)]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    got = {
+        r["grp"]: (r["n_buckets"], r["hll_est"])
+        for r in hll_distinct(df, "key", ["grp"], p=6).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["grp", "key"]))
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(hll_oracle_sql("t", "key", ["grp"], p=6)).fetchall()
+    }
+    assert got == want
+    for g, n_true in (("g0", 4000), ("g1", 4000)):
+        # std err 1.04/sqrt(64) = 13%; allow 4 sigma
+        assert abs(got[g][1] - n_true) / n_true < 0.52
+
+
+def test_hll_duplicates_do_not_inflate(spark):
+    from osm_chordify_spark.operators.sketch import hll_distinct
+
+    once = _toy(spark, {"a": 700})
+    thrice = once.union(once).union(once)
+    a = hll_distinct(once, "key", ["grp"], p=6).collect()[0]
+    b = hll_distinct(thrice, "key", ["grp"], p=6).collect()[0]
+    assert (a["n_buckets"], a["hll_est"]) == (b["n_buckets"], b["hll_est"])
+
+
+def test_hll_merge_equals_whole(spark):
+    """Per-bucket max of shard registers == registers of the whole."""
+    from osm_chordify_spark.operators.sketch import (
+        hll_distinct, hll_estimate, hll_merge, hll_registers,
+    )
+
+    df = _toy(spark, {"a": 1500, "b": 90}).withColumn(
+        "shard", F.crc32("key") % 4
+    )
+    shard_regs = hll_registers(df, "key", ["grp", "shard"], p=5)
+    merged = {
+        r["grp"]: (r["n_buckets"], r["hll_est"])
+        for r in hll_estimate(hll_merge(shard_regs, ["grp"]), ["grp"], p=5).collect()
+    }
+    whole = {
+        r["grp"]: (r["n_buckets"], r["hll_est"])
+        for r in hll_distinct(df, "key", ["grp"], p=5).collect()
+    }
+    assert merged == whole
+
+
+def test_hll_numpy_replay(spark):
+    """Ten-line reference replay: md5 → bucket/rho → exact-integer
+    estimator, in pure Python ints."""
+    import hashlib
+
+    from osm_chordify_spark.operators.sketch import hll_distinct
+
+    keys = [f"key{i}" for i in range(3000)]
+    df = spark.createDataFrame([("g", k) for k in keys], "grp string, key string")
+    [row] = hll_distinct(df, "key", ["grp"], p=6).collect()
+
+    m, max_rho = 64, 53 - 6
+    regs = {}
+    for k in keys:
+        h = int(hashlib.md5(f"hll:{k}".encode()).hexdigest()[:13], 16)
+        b, w = h % m, h >> 6
+        rho = max_rho - (w.bit_length() if w else 0)
+        regs[b] = max(regs.get(b, 0), rho)
+    s = sum(1 << (max_rho - r) for r in regs.values())
+    s += (m - len(regs)) * (1 << max_rho)
+    est = (709 * m * m * (1 << max_rho)) // (1000 * s)
+    assert (row["n_buckets"], row["hll_est"]) == (len(regs), est)
+
+
+def test_hll_p_bounds(spark):
+    from osm_chordify_spark.operators.sketch import hll_distinct
+
+    df = _toy(spark, {"a": 5})
+    with pytest.raises(ValueError):
+        hll_distinct(df, "key", ["grp"], p=3)
+    with pytest.raises(ValueError):
+        hll_distinct(df, "key", ["grp"], p=15)
