@@ -1657,6 +1657,42 @@ def bm25_topk_search(spark, sf_dir):
     return _SEARCH.bm25_topk(docs, qs, k=5)
 
 
+from osm_chordify_spark.operators import cluster as _CL
+
+
+@register(
+    "kmeans_embedding_clusters",
+    oracle=_CL.kmeans_oracle_sql("embeddings", k=8, iters=3),
+)
+def kmeans_embedding_clusters(spark, sf_dir):
+    """Beyond-reference embedding ops: integer-exact Lloyd k-means over
+    the embeddings table (operators/cluster.py) — quantized floor(v·2^10)
+    coordinates make squared distances, floored-mean centroids, and
+    (dist, cid) argmin all bigint-exact, so three full Lloyd iterations
+    replay bit-identically in DuckDB's unrolled-CTE oracle.  Per
+    iteration the plan is one narrow argmin projection against the
+    broadcast k×d centroid literal plus one map-side-combinable k×d
+    aggregate — the classic scalable Lloyd shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return _CL.kmeans_assign(emb, k=8, iters=3)
+
+
+@register(
+    "semdedup_embeddings",
+    oracle=_CL.semdedup_oracle_sql("embeddings", k=8, iters=2, tau=(30, 100)),
+)
+def semdedup_embeddings(spark, sf_dir):
+    """Beyond-reference semantic dedup (SemDeDup, Abbas et al. 2023):
+    cluster embeddings, then flag members whose quantized cosine vs the
+    cluster's min-id representative clears tau — the rational-tau test
+    (tau_den·dot)² ≥ tau_num²·‖x‖²·‖r‖² keeps the screen integer-exact.
+    tau=0.30 because the synthetic embeddings are near-uniform (real
+    corpus embeddings cluster far tighter): at sf0.01 it flags 11/500
+    rows, exercising both predicate branches under the value-hash."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return _CL.semdedup(emb, k=8, iters=2, tau=(30, 100))
+
+
 @register(
     "token_frequency_by_lang",
     oracle="""
