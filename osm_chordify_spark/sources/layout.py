@@ -179,3 +179,52 @@ def pruned_file_count(path: str, lon_range, lat_range) -> tuple[int, int]:
         and e["hi_lat"] >= lo_lat and e["lo_lat"] <= hi_lat
     )
     return kept, len(m["files"])
+
+
+# ---------------------------------------------------------------------------
+# Bucketed layout: shuffle-free co-located joins
+#
+# Bucketing is the OTHER half of the layout story (Z-order prunes
+# scans; buckets kill join shuffles).  Writing both sides of a hot
+# equi-join bucketed by the join key into the same bucket count means
+# every later join between them compiles WITHOUT an Exchange on either
+# side — at 100 TB that's the single biggest cost in a fact-to-fact
+# join, paid once at write time instead of on every query.  Spark's
+# native datasource bucketing does the heavy lifting; these helpers pin
+# the contract (same bucket count both sides, sortBy for merge-join
+# readiness) and the plan-quality test pins "no Exchange".
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Write ``df`` as an external bucketed parquet table registered in
+    the session catalog.  ``sort_col`` defaults to the bucket column —
+    sorted buckets let SortMergeJoin skip its sort when each bucket is
+    a single file."""
+    if n_buckets < 1:
+        raise ValueError(f"need n_buckets >= 1, got {n_buckets}")
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(sort_col or bucket_col)
+        .saveAsTable(table_name)
+    )
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str | list,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two co-bucketed catalog tables.  When both were written by
+    :func:`write_bucketed` with the same bucket count on the join key,
+    the physical plan contains no Exchange — bucket i of the left reads
+    against bucket i of the right directly."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

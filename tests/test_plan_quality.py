@@ -244,3 +244,59 @@ def test_clustered_write_one_shuffle_read_pushes_bbox(spark, tmp_path):
 
     n_paths = int(re.search(r"InMemoryFileIndex\((\d+) paths\)", rplan).group(1))
     assert n_paths < 4
+
+
+def test_hll_all_jvm_one_agg_shuffle(spark):
+    """HLL: hash → bucket/rho projection → per-(group, bucket) max →
+    per-group estimate.  All codegen (bin/shiftleft/conv), no Python
+    crossing, no join at all, and both aggregates carry map-side
+    partials."""
+    plan = _plan(spark, "hll_distinct_users_per_event_type")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "partial_max" in plan
+    assert "md5" in plan
+
+
+def test_bm25_prunes_postings_before_wide_shuffle(spark):
+    """BM25: the corpus-side postings are joined to the BROADCAST query
+    terms (and df/stats ride broadcast too) — no SortMergeJoin anywhere;
+    the only wide shuffles key on bounded sets (matched (query, doc) and
+    the postings build)."""
+    plan = _plan(spark, "bm25_topk_search")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row stats table
+
+
+def test_kmeans_assign_is_narrow_projection_plus_kd_agg(spark):
+    """Lloyd iteration: the argmin runs INSIDE a projection against the
+    broadcast centroid literal — no join, no per-dim explode, no Python;
+    the single shuffle per iteration is the k-row centroid aggregate."""
+    from osm_chordify_spark.operators.cluster import kmeans_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = (
+        kmeans_assign(emb, k=4, iters=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan and "Generate" not in plan  # no explode
+    assert "Exchange" not in plan  # final assignment: zero shuffles
+
+
+def test_bucketed_driver_query_join_side_shuffle_free(spark):
+    """The gate query's plan: two Bucketed: true scans, a SortMergeJoin
+    with NO exchange on the join key — the only shuffle is the final
+    3-row status aggregate."""
+    import re
+
+    plan = _plan(spark, "bucketed_colocated_join")
+    assert plan.count("Bucketed: true") == 2
+    assert "SortMergeJoin" in plan
+    exch = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
+    assert exch and all(c == "o_orderstatus" for c in exch), exch
