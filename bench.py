@@ -169,6 +169,11 @@ def run_relational(spark: SparkSession, sf_dir: str) -> dict:
         "shapefile_many_zone_intersect",
         "zorder_cluster_codes",
         "clustered_pruned_scan",
+        "hll_distinct_users_per_event_type",
+        "bm25_topk_search",
+        "kmeans_embedding_clusters",
+        "semdedup_embeddings",
+        "bucketed_colocated_join",
     )
     qs = m.queries()
     heavy = {

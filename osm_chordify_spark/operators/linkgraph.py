@@ -179,3 +179,77 @@ def with_host_rank(
         "__host",
         "left",
     ).drop("__host")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented wedge join)
+
+
+def undirected_edges(edges: DataFrame, src: str = "src_host",
+                     dst: str = "dst_host") -> DataFrame:
+    """Directed multigraph → simple undirected edge set: canonical
+    (least, greatest) endpoint order, self-loops dropped, distinct."""
+    lo = F.least(F.col(src), F.col(dst))
+    hi = F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.where(F.col(src) != F.col(dst))
+        .select(lo.alias("u"), hi.alias("v"))
+        .distinct()
+    )
+
+
+def triangles(edges: DataFrame, src: str = "src_host",
+              dst: str = "dst_host") -> DataFrame:
+    """All triangles, one row each: (node_a, node_b, node_c) ordered
+    along the degree orientation.
+
+    The scale-critical trick is the ORIENTATION: each undirected edge
+    points from its (degree, node)-smaller endpoint to the larger, so
+    the graph becomes a DAG whose out-degree is O(sqrt(m)) even when a
+    hub's real degree is millions (the web's host graph is exactly that
+    skewed).  The wedge self-join therefore blows up per-node as
+    out-deg², bounded, instead of deg² on hubs; the closing edge check
+    is one more equi-join.  Each triangle appears EXACTLY once.  All
+    joins are equi-joins on node ids; nothing is broadcast or collected.
+    """
+    und = undirected_edges(edges, src, dst)
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    # orient: (deg, node) total order makes the DAG deterministic
+    d1 = deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du")
+    d2 = deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv")
+    e = und.join(d1, "u").join(d2, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")  # x→y→z along the DAG
+    e3 = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return wedges.join(e3, ["x", "z"]).select(
+        F.col("x").alias("node_a"), F.col("y").alias("node_b"),
+        F.col("z").alias("node_c"),
+    )
+
+
+def triangle_participation(edges: DataFrame, src: str = "src_host",
+                           dst: str = "dst_host") -> DataFrame:
+    """(node, n_triangles): how many triangles each node belongs to —
+    the classic spam/community signal on a host graph."""
+    tri = triangles(edges, src, dst)
+    nodes = (
+        tri.select(F.col("node_a").alias("node"))
+        .unionAll(tri.select(F.col("node_b").alias("node")))
+        .unionAll(tri.select(F.col("node_c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )

@@ -3717,6 +3717,67 @@ group by o_orderstatus
 _register_bucketed_join()
 
 
+def _register_triangles():
+    @register(
+        "graph_triangle_participation",
+        oracle="""
+with raw as (
+  select l_orderkey % 4001 as u0,
+         (l_orderkey * 131 + l_linenumber) % 4001 as v0
+  from lineitem
+), und as (
+  select distinct least(u0, v0) as u, greatest(u0, v0) as v
+  from raw where u0 != v0
+), deg as (
+  select n, count(*)::bigint as deg
+  from (select u as n from und union all select v as n from und)
+  group by 1
+), oriented as (
+  select case when (d1.deg, e.u) < (d2.deg, e.v) then e.u else e.v end as a,
+         case when (d1.deg, e.u) < (d2.deg, e.v) then e.v else e.u end as b
+  from und e
+  join deg d1 on d1.n = e.u
+  join deg d2 on d2.n = e.v
+), tri as (
+  select e1.a as node_a, e1.b as node_b, e2.b as node_c
+  from oriented e1
+  join oriented e2 on e2.a = e1.b
+  join oriented e3 on e3.a = e1.a and e3.b = e2.b
+)
+select node, cast(count(*) as bigint) as n_triangles
+from (
+  select node_a as node from tri
+  union all select node_b from tri
+  union all select node_c from tri
+) group by node
+""",
+    )
+    def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-node triangle participation on a deterministic synthetic
+        graph derived from lineitem keys (operators/linkgraph.triangles).
+        The degree ORIENTATION is the scale story: every undirected edge
+        points from its (degree, node)-smaller endpoint to the larger,
+        bounding the wedge join's per-node fan-out by out-deg² ~ O(m)
+        total even on web-scale hub skew; each triangle is produced
+        exactly once, everything is equi-joins."""
+        from osm_chordify_spark.operators.linkgraph import (
+            triangle_participation,
+        )
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            (F.col("l_orderkey") % 4001).alias("src_host"),
+            ((F.col("l_orderkey") * 131 + F.col("l_linenumber")) % 4001).alias(
+                "dst_host"
+            ),
+        )
+        return triangle_participation(li).select(
+            F.col("node").cast("bigint").alias("node"), "n_triangles"
+        )
+
+
+_register_triangles()
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation (VERDICT r4 item 1b): the driver's CORRECTNESS
 # artifact snapshots the FIRST 50 registered queries.  Order the
@@ -3745,8 +3806,7 @@ _WINDOW_FIRST = [
     "cms_user_frequencies",
     "hll_distinct_users_per_event_type", "bm25_topk_search",
     "kmeans_embedding_clusters", "semdedup_embeddings",
-    "process_tags_pipeline",
-    "host_link_pagerank",
+    "host_link_pagerank", "graph_triangle_participation",
     "media_wav_features", "embedding_cosine_dedup",
     "media_decode_features", "media_png_decode",
     "pages_nearest_zone", "pages_nearest_zone_163k_dist",

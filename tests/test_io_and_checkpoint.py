@@ -267,3 +267,53 @@ def test_snapshot_concurrent_writers_race(spark, tmp_path):
     assert set(out["src"]) == {"w1", "w2"}
     # both versions remain independently readable (time travel intact)
     assert ST.read_snapshot(spark, tdir, version=winner["version"]).count() in (2, 3)
+
+
+def test_snapshot_read_changes_incremental(spark, tmp_path):
+    """CDC-style delta read: each commit's ADDED rows, tagged with the
+    commit version/operation; inherited files never reread."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osm_chordify_spark.sources.snapshot_table import (
+        read_changes,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "cdc_tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id"), (F.col("id") * 2).alias("val")
+    )
+    write_snapshot(mk(0, 10), t, mode="overwrite")   # v0
+    write_snapshot(mk(10, 15), t, mode="append")     # v1
+    write_snapshot(mk(15, 17), t, mode="append")     # v2
+
+    d01 = read_changes(spark, t, 0, 1).toPandas()
+    assert sorted(d01["id"]) == list(range(10, 15))
+    assert set(d01["_commit_version"]) == {1}
+    assert set(d01["_commit_operation"]) == {"append"}
+
+    d02 = read_changes(spark, t, 0).toPandas()  # to latest
+    assert sorted(d02["id"]) == list(range(10, 17))
+    assert set(d02["_commit_version"]) == {1, 2}
+
+    # delta + base == snapshot at head
+    head = read_snapshot(spark, t).count()
+    assert head == 17 and 10 + len(d02) == head
+
+    # an overwrite commit reports all its rows as added, op tagged
+    write_snapshot(mk(100, 103), t, mode="overwrite")  # v3
+    d23 = read_changes(spark, t, 2, 3).toPandas()
+    assert sorted(d23["id"]) == [100, 101, 102]
+    assert set(d23["_commit_operation"]) == {"overwrite"}
+
+    # empty range → empty frame with the tag columns present
+    d22 = read_changes(spark, t, 3, 3)
+    assert d22.count() == 0
+    assert "_commit_version" in d22.columns
+
+    with pytest.raises(ValueError):
+        read_changes(spark, t, 2, 1)
+    with pytest.raises(FileNotFoundError):
+        read_changes(spark, str(tmp_path / "nope"), 0)

@@ -134,3 +134,69 @@ def test_pagerank_scale_invariance(spark):
     a = LG.pagerank_fixed_point(edges.repartition(1), iterations=2).collect()
     b = LG.pagerank_fixed_point(edges.repartition(16), iterations=2).collect()
     assert {(r.host, r.rank_micro) for r in a} == {(r.host, r.rank_micro) for r in b}
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src_host string, dst_host string"
+    )
+
+
+def test_triangles_k4_and_path(spark):
+    from osm_chordify_spark.operators.linkgraph import (
+        triangle_participation,
+        triangles,
+    )
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    tri = triangles(_edges(spark, k4)).collect()
+    assert len(tri) == 4  # C(4,3), each exactly once
+    assert len({tuple(sorted((r[0], r[1], r[2]))) for r in tri}) == 4
+    part = {r["node"]: r["n_triangles"]
+            for r in triangle_participation(_edges(spark, k4)).collect()}
+    assert part == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    path = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert triangles(_edges(spark, path)).count() == 0
+
+
+def test_triangles_ignore_direction_loops_and_dups(spark):
+    from osm_chordify_spark.operators.linkgraph import triangles
+
+    messy = [
+        ("a", "b"), ("b", "a"), ("a", "a"),  # dup direction + self-loop
+        ("b", "c"), ("c", "a"), ("a", "b"),
+    ]
+    tri = triangles(_edges(spark, messy)).collect()
+    assert len(tri) == 1
+    assert tuple(sorted(tri[0])) == ("a", "b", "c")
+
+
+def test_triangles_match_brute_force(spark):
+    """Pseudo-random graph vs itertools brute force."""
+    from itertools import combinations
+
+    from osm_chordify_spark.operators.linkgraph import triangles
+
+    pairs = set()
+    x = 11
+    for _ in range(160):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        u, v = (x >> 3) % 17, (x >> 9) % 17
+        if u != v:
+            pairs.add((min(u, v), max(u, v)))
+    got = triangles(_edges(spark, sorted(pairs))).count()
+    adj = {(str(a), str(b)) for a, b in pairs} | {
+        (str(b), str(a)) for a, b in pairs
+    }
+    nodes = sorted({n for e in adj for n in e})
+    want = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in adj and (a, c) in adj and (b, c) in adj
+    )
+    assert want > 0 and got == want

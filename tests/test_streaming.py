@@ -263,3 +263,72 @@ def test_streaming_warc_ingest_two_microbatches(spark, tmp_path):
     # the snapshot table agrees too
     snap = read_snapshot(spark, table).groupBy("zone_id").count().toPandas()
     assert snap.set_index("zone_id")["count"].to_dict() == batch.to_dict()
+
+
+def test_streaming_hll_windowed_distinct_matches_batch(spark, tmp_path):
+    """Two microbatches of events → windowed HLL registers (append on
+    watermark close) → batch finalize == running the batch sketch over
+    the same rows.  State is ≤ m ints per (window, group) no matter how
+    many distinct users the window saw."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osm_chordify_spark.streaming.hll_stream import (
+        finalize_batch,
+        hll_register_stream,
+    )
+
+    rows = [
+        (f"2024-01-01 00:{m:02d}:{s:02d}", f"g{m % 2}", f"u{i % 97}")
+        for i, (m, s) in enumerate(
+            (mm, ss) for mm in range(0, 30, 7) for ss in range(0, 60, 1)
+        )
+    ]
+    src = str(tmp_path / "hll_src")
+    df = spark.createDataFrame(rows, "ts_s string, grp string, user string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "grp", "user"
+    )
+    df.repartition(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    regs = hll_register_stream(
+        stream, "ts", "user", ["grp"], window="10 minutes",
+        watermark="0 seconds", p=5,
+    )
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql("select * from hll_regs")
+    got = (
+        finalize_batch(emitted, ["grp"], p=5)
+        .toPandas().sort_values(["window_start", "grp"]).reset_index(drop=True)
+    )
+    # batch truth: same register construction + estimator over all rows
+    want = (
+        finalize_batch(
+            hll_register_stream(df, "ts", "user", ["grp"],
+                                window="10 minutes", p=5),
+            ["grp"], p=5,
+        )
+        .toPandas().sort_values(["window_start", "grp"]).reset_index(drop=True)
+    )
+    # the stream emits only watermark-closed windows; compare those
+    want = want[want["window_start"].isin(set(got["window_start"]))]
+    want = want.sort_values(["window_start", "grp"]).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+    # sanity: estimates in the right ballpark for 97 distinct users
+    full = finalize_batch(
+        hll_register_stream(df, "ts", "user", [], window="1 hour", p=5), [], p=5
+    ).collect()
+    assert abs(full[0]["hll_est"] - 97) / 97 < 0.75  # p=5 → ~18% stderr
