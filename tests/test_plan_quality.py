@@ -300,3 +300,13 @@ def test_bucketed_driver_query_join_side_shuffle_free(spark):
     assert "SortMergeJoin" in plan
     exch = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
     assert exch and all(c == "o_orderstatus" for c in exch), exch
+
+
+def test_triangles_equi_joins_only(spark):
+    """Degree-oriented wedge join: every join in the plan is a hash or
+    merge EQUI-join — no cartesian, no broadcast nested loop, no Python."""
+    plan = _plan(spark, "graph_triangle_participation")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
