@@ -1,4 +1,6 @@
-"""Engine-replayable sketches: KMV distinct-count + count-min frequency.
+"""Engine-replayable sketches: KMV + HyperLogLog distinct-count,
+count-min frequency, histogram quantiles — all mergeable, all exact
+integer arithmetic over one shared 52-bit md5 hash family.
 
 The engine-portable alternative to HyperLogLog for per-group
 cardinality estimation: keep the k smallest 52-bit md5-derived hashes
@@ -363,3 +365,124 @@ select {groups}, cast(n_buckets as bigint) as n_buckets,
             // ({alpha_den}::hugeint * ssum) as bigint) as hll_est
 from s
 """
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+#
+# Completes the sketch family (KMV/HLL: distinct, CMS: frequency) with
+# MERGEABLE quantiles.  Exact percentile() needs the whole column
+# through one sort; this keeps a fixed-grid bucket-count table — state
+# ≤ n_buckets bigints per group, merge = plain cell sum (the same
+# order-independence argument as CMS) — and answers any phi with a
+# cumulative walk.  The error contract is VALUE-resolution, not rank:
+# the answer is the exact lower edge of the bucket containing the
+# phi-quantile, so it is within (hi-lo)/n_buckets of the true value
+# (rank position itself is exact).  A KLL/t-digest would adapt the grid
+# but needs order-dependent float merges that no cross-engine value
+# hash survives; the fixed grid keeps every number a bigint.
+
+
+def histogram_build(
+    df: DataFrame, key_col: str, group_cols: list[str],
+    lo: int, hi: int, n_buckets: int = 256,
+) -> DataFrame:
+    """Per-group bucket-count table over the integer domain [lo, hi):
+    (group..., bucket, cnt).  One map-side-combinable aggregate; values
+    outside the domain clamp to the edge buckets (documented, never
+    dropped — quantile RANKS stay exact)."""
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    if n_buckets < 1:
+        raise ValueError(f"need n_buckets >= 1, got {n_buckets}")
+    # (v-lo)*nb fits bigint for domains up to ~2^63/nb — the caller's
+    # domain is a declared grid, not raw 64-bit hashes.  Integral `div`,
+    # never `/`: float division loses exactness past 2^53.
+    bucket = F.expr(
+        f"((least(greatest(cast({key_col} as bigint), {lo}), {hi - 1}) - {lo})"
+        f" * {n_buckets}) div {hi - lo}"
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def histogram_merge(counts: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge shard histograms: sum cells (exactly the whole's table)."""
+    return (
+        counts.groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    counts: DataFrame, group_cols: list[str],
+    lo: int, hi: int, n_buckets: int,
+    phis: list[tuple[int, int]] = ((1, 4), (1, 2), (3, 4)),
+) -> DataFrame:
+    """Quantile estimates off a histogram state: for each rational
+    phi = num/den, the exact lower edge of the bucket holding the
+    ceil(phi·n)-th value (1-indexed).  Output: (group..., phi_num,
+    phi_den, q_est) — q_est = lo + bucket·(hi-lo) div n_buckets, all
+    bigint, cross-engine exact."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols).orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*group_cols)
+    cum = counts.select(
+        *group_cols, "bucket", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    out = None
+    for num, den in phis:
+        # target rank = ceil(num·n/den) ≥ 1, pure integer:
+        target = F.expr(f"cast(-((-{num} * n) div {den}) as bigint)")
+        hit = (
+            cum.where(F.col("cum") >= F.greatest(target, F.lit(1)))
+            .groupBy(*group_cols)
+            .agg(F.min("bucket").alias("bucket"))
+            .select(
+                *group_cols,
+                F.lit(num).cast("int").alias("phi_num"),
+                F.lit(den).cast("int").alias("phi_den"),
+                F.expr(
+                    f"cast({lo} + (bucket * {hi - lo}) div {n_buckets} as bigint)"
+                ).alias("q_est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+def histogram_quantile_oracle_sql(
+    table_expr: str, key_sql: str, group_sql: list[str],
+    lo: int, hi: int, n_buckets: int,
+    phis: list[tuple[int, int]] = ((1, 4), (1, 2), (3, 4)),
+) -> str:
+    """DuckDB replay of build + quantile walk."""
+    groups = ", ".join(group_sql)
+    parts = []
+    for num, den in phis:
+        parts.append(f"""
+select {groups}, cast({num} as int) as phi_num, cast({den} as int) as phi_den,
+       cast({lo} + (min(bucket) * {hi - lo}) // {n_buckets} as bigint) as q_est
+from (
+  select {groups}, bucket,
+         sum(cnt) over (partition by {groups} order by bucket) as cum,
+         sum(cnt) over (partition by {groups}) as n
+  from (
+    select {groups},
+           ((least(greatest(cast({key_sql} as bigint), {lo}), {hi - 1}) - {lo})
+            * {n_buckets}) // {hi - lo} as bucket,
+           count(*)::bigint as cnt
+    from {table_expr} group by 1, 2
+  )
+) where cum >= greatest(-((-{num} * n) // {den}), 1)
+group by {groups}""")
+    return " union all ".join(parts)

@@ -1612,6 +1612,39 @@ def cms_user_frequencies(spark, sf_dir):
     return _SK.cms_estimate(counters, keys, "user_id", depth=3, width=64)
 
 
+_HQ_ARGS = dict(lo=0, hi=1_000_000, n_buckets=512,
+                phis=((1, 4), (1, 2), (3, 4), (9, 10)))
+
+
+@register(
+    "histogram_value_quantiles",
+    oracle=_SK.histogram_quantile_oracle_sql(
+        "(select event_type, floor(value * 1000) as vmicro from events"
+        " where value is not null) t",
+        "vmicro", ["event_type"], **_HQ_ARGS,
+    ),
+)
+def histogram_value_quantiles(spark, sf_dir):
+    """Beyond-reference corpus profiling: mergeable histogram-quantile
+    sketch (operators/sketch.py) — p25/p50/p75/p90 of event values per
+    type off a fixed-grid bucket-count state (≤512 bigints per group;
+    merge = cell sum).  Exact percentile() needs the whole column
+    through a sort; this answers any phi off state a shard can ship.
+    Values quantized to integer micro-units (floor(v·1000)) so every
+    number in build and walk is a bigint — cross-engine exact."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", F.floor(F.col("value") * 1000).alias("vmicro"))
+    )
+    counts = _SK.histogram_build(ev, "vmicro", ["event_type"],
+                                 _HQ_ARGS["lo"], _HQ_ARGS["hi"],
+                                 _HQ_ARGS["n_buckets"])
+    return _SK.histogram_quantiles(counts, ["event_type"],
+                                   _HQ_ARGS["lo"], _HQ_ARGS["hi"],
+                                   _HQ_ARGS["n_buckets"], _HQ_ARGS["phis"])
+
+
 @register(
     "hll_distinct_users_per_event_type",
     oracle=_SK.hll_oracle_sql("events", "user_id", ["event_type"], p=6),
@@ -3808,7 +3841,7 @@ _WINDOW_FIRST = [
     "kmeans_embedding_clusters", "semdedup_embeddings",
     "host_link_pagerank", "graph_triangle_participation",
     "media_wav_features", "embedding_cosine_dedup",
-    "media_decode_features", "media_png_decode",
+    "histogram_value_quantiles", "media_png_decode",
     "pages_nearest_zone", "pages_nearest_zone_163k_dist",
     "raster_zonal_stats_100k_dist", "knn_true_segment_match",
     "zorder_cluster_codes", "clustered_pruned_scan",

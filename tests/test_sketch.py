@@ -239,3 +239,91 @@ def test_hll_p_bounds(spark):
         hll_distinct(df, "key", ["grp"], p=3)
     with pytest.raises(ValueError):
         hll_distinct(df, "key", ["grp"], p=15)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (histogram_*)
+
+
+def _hist_df(spark):
+    # grp a: 0..999 once each; grp b: heavy left skew (900 zeros + 100 tail)
+    rows = [("a", i) for i in range(1000)]
+    rows += [("b", 0)] * 900 + [("b", 10 * i) for i in range(100)]
+    return spark.createDataFrame(rows, "grp string, v bigint")
+
+
+def test_histogram_quantiles_within_bucket_resolution(spark):
+    from osm_chordify_spark.operators.sketch import (
+        histogram_build, histogram_quantiles,
+    )
+
+    df = _hist_df(spark)
+    counts = histogram_build(df, "v", ["grp"], 0, 1000, n_buckets=100)
+    qs = histogram_quantiles(counts, ["grp"], 0, 1000, 100,
+                             phis=[(1, 4), (1, 2), (3, 4)])
+    got = {(r["grp"], r["phi_num"], r["phi_den"]): r["q_est"]
+           for r in qs.collect()}
+    # grp a uniform 0..999: true p25/p50/p75 = 250/500/750; bucket
+    # width 10 → answer is the bucket's lower edge
+    assert got[("a", 1, 4)] == 240 and got[("a", 1, 2)] == 490
+    assert got[("a", 3, 4)] == 740
+    # grp b: 900 of 1000 values are 0 → p25/p50/p75 all in bucket 0
+    assert got[("b", 1, 4)] == 0 and got[("b", 3, 4)] == 0
+
+
+def test_histogram_merge_equals_whole_and_clamps(spark):
+    from osm_chordify_spark.operators.sketch import (
+        histogram_build, histogram_merge, histogram_quantiles,
+    )
+
+    df = _hist_df(spark).withColumn("shard", F.crc32("grp") % 3 + F.col("v") % 3)
+    shard = histogram_build(df, "v", ["grp", "shard"], 0, 1000, 50)
+    merged = histogram_merge(
+        shard.drop("shard"), ["grp"]
+    )
+    whole = histogram_build(df, "v", ["grp"], 0, 1000, 50)
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, whole.collect()))
+    assert a == b
+
+    # out-of-domain values clamp to edge buckets, ranks stay exact
+    oob = spark.createDataFrame(
+        [("c", -50), ("c", 5), ("c", 99999)], "grp string, v bigint"
+    )
+    counts = histogram_build(oob, "v", ["grp"], 0, 10, 10)
+    got = {r["bucket"]: r["cnt"] for r in counts.collect()}
+    assert got == {0: 1, 5: 1, 9: 1}
+
+
+def test_histogram_matches_duckdb_oracle(spark):
+    import duckdb
+    import pandas as pd
+
+    from osm_chordify_spark.operators.sketch import (
+        histogram_build, histogram_quantile_oracle_sql, histogram_quantiles,
+    )
+
+    rows = [("g%d" % (i % 3), (i * 37) % 5000) for i in range(4000)]
+    df = spark.createDataFrame(rows, "grp string, v bigint")
+    counts = histogram_build(df, "v", ["grp"], 0, 5000, 64)
+    got = sorted(map(tuple, histogram_quantiles(
+        counts, ["grp"], 0, 5000, 64,
+        phis=[(1, 10), (1, 2), (99, 100)],
+    ).collect()))
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["grp", "v"]))
+    want = sorted(map(tuple, con.sql(histogram_quantile_oracle_sql(
+        "t", "v", ["grp"], 0, 5000, 64,
+        phis=[(1, 10), (1, 2), (99, 100)],
+    )).fetchall()))
+    assert got == want
+
+
+def test_histogram_param_validation(spark):
+    from osm_chordify_spark.operators.sketch import histogram_build
+
+    df = _hist_df(spark)
+    with pytest.raises(ValueError):
+        histogram_build(df, "v", ["grp"], 10, 10, 4)
+    with pytest.raises(ValueError):
+        histogram_build(df, "v", ["grp"], 0, 10, 0)
