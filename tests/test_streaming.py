@@ -332,3 +332,66 @@ def test_streaming_hll_windowed_distinct_matches_batch(spark, tmp_path):
         hll_register_stream(df, "ts", "user", [], window="1 hour", p=5), [], p=5
     ).collect()
     assert abs(full[0]["hll_est"] - 97) / 97 < 0.75  # p=5 → ~18% stderr
+
+
+def test_streaming_histogram_quantiles_match_batch(spark, tmp_path):
+    """Windowed histogram state streams out on watermark close; the
+    batch walk finalizes — stream ≡ batch, state ≤ n_buckets ints."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osm_chordify_spark.streaming.quantile_stream import (
+        finalize_quantiles,
+        histogram_count_stream,
+    )
+
+    rows = [
+        (f"2024-03-05 07:{m:02d}:{s:02d}", f"g{s % 2}", (m * 97 + s * 13) % 1000)
+        for m in range(0, 24, 5) for s in range(0, 60, 2)
+    ]
+    src = str(tmp_path / "hq_src")
+    df = spark.createDataFrame(rows, "ts_s string, grp string, v bigint").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "grp", "v"
+    )
+    df.repartition(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    args = dict(lo=0, hi=1000, n_buckets=40)
+    counts = histogram_count_stream(
+        stream, "ts", "v", ["grp"], window="10 minutes",
+        watermark="0 seconds", **args,
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("hq_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hq_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql("select * from hq_counts")
+    got = (
+        finalize_quantiles(emitted, ["grp"], **args)
+        .toPandas()
+        .sort_values(["window_start", "grp", "phi_num", "phi_den"])
+        .reset_index(drop=True)
+    )
+    want = (
+        finalize_quantiles(
+            histogram_count_stream(df, "ts", "v", ["grp"],
+                                   window="10 minutes", **args),
+            ["grp"], **args,
+        )
+        .toPandas()
+    )
+    want = want[want["window_start"].isin(set(got["window_start"]))]
+    want = want.sort_values(
+        ["window_start", "grp", "phi_num", "phi_den"]
+    ).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
