@@ -441,8 +441,11 @@ def histogram_quantiles(
     )
     out = None
     for num, den in phis:
-        # target rank = ceil(num·n/den) ≥ 1, pure integer:
-        target = F.expr(f"cast(-((-{num} * n) div {den}) as bigint)")
+        # target rank = ceil(num·n/den) ≥ 1.  Positive-operand ceil
+        # idiom (a + b - 1) div b: both Spark's `div` and DuckDB's `//`
+        # TRUNCATE toward zero, so the negate-floor-negate trick would
+        # silently compute floor instead.
+        target = F.expr(f"cast(({num} * n + {den - 1}) div {den} as bigint)")
         hit = (
             cum.where(F.col("cum") >= F.greatest(target, F.lit(1)))
             .groupBy(*group_cols)
@@ -483,6 +486,6 @@ from (
            count(*)::bigint as cnt
     from {table_expr} group by 1, 2
   )
-) where cum >= greatest(-((-{num} * n) // {den}), 1)
+) where cum >= greatest(({num} * n + {den - 1}) // {den}, 1)
 group by {groups}""")
     return " union all ".join(parts)

@@ -327,3 +327,18 @@ def test_histogram_param_validation(spark):
         histogram_build(df, "v", ["grp"], 10, 10, 4)
     with pytest.raises(ValueError):
         histogram_build(df, "v", ["grp"], 0, 10, 0)
+
+
+def test_histogram_quantile_rank_is_ceil(spark):
+    """Median of 5 values is the 3rd smallest (ceil(2.5)), not the 2nd —
+    guards the truncating-div ceil idiom in BOTH engines."""
+    from osm_chordify_spark.operators.sketch import (
+        histogram_build, histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v) for v in (0, 10, 20, 30, 40)], "grp string, v bigint"
+    )
+    counts = histogram_build(df, "v", ["grp"], 0, 50, 50)  # width-1 buckets
+    [r] = histogram_quantiles(counts, ["grp"], 0, 50, 50, phis=[(1, 2)]).collect()
+    assert r["q_est"] == 20
