@@ -90,9 +90,14 @@ def kmv_distinct(
     """
     if not 2 <= k <= 2048:
         raise ValueError(f"k must be in [2, 2048], got {k}")
-    hashed = df.select(
-        *group_cols, kmv_hash(F.col(key_col)).alias("__h")
-    ).distinct()
+    # null keys never count (and MUST be dropped before the hash: a
+    # null hash would rank NULLS-FIRST in Spark but NULLS-LAST in
+    # DuckDB's window order — a cross-engine trap)
+    hashed = (
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, kmv_hash(F.col(key_col)).alias("__h"))
+        .distinct()
+    )
     return _topk_state(hashed, group_cols, k, keep_hashes)
 
 
@@ -121,7 +126,7 @@ def kmv_oracle_sql(
     return f"""
 with hashed as (
   select distinct {groups}, ('0x' || substr(md5(cast({key_sql} as varchar)), 1, {_HASH_HEX_CHARS}))::bigint as h
-  from {table_expr}
+  from {table_expr} where {key_sql} is not null
 ), ranked as (
   select {groups}, h,
          row_number() over (partition by {groups} order by h) as rn
@@ -177,7 +182,8 @@ def cms_build(
         for d in range(depth)
     ])
     return (
-        df.select(F.explode(cells).alias("c"))
+        df.where(key.isNotNull())  # null keys never count
+        .select(F.explode(cells).alias("c"))
         .groupBy(F.col("c.row_idx").alias("row_idx"),
                  F.col("c.col_idx").alias("col_idx"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -283,7 +289,8 @@ def hll_registers(
         F.length(F.bin(w))
     )
     return (
-        df.select(*group_cols, (h % m).alias("bucket"), rho.alias("rho"))
+        df.where(F.col(key_col).isNotNull())  # null keys never count
+        .select(*group_cols, (h % m).alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").cast("int").alias("register"))
     )
@@ -348,7 +355,7 @@ def hll_oracle_sql(
 with hashed as (
   select {groups},
          ('0x' || substr(md5('hll:' || cast({key_sql} as varchar)), 1, {_HASH_HEX_CHARS}))::bigint as h
-  from {table_expr}
+  from {table_expr} where {key_sql} is not null
 ), regs as (
   select {groups}, h % {m} as bucket,
          max({max_rho} - case when h // {m} = 0 then 0
@@ -403,7 +410,8 @@ def histogram_build(
         f" * {n_buckets}) div {hi - lo}"
     )
     return (
-        df.select(*group_cols, bucket.alias("bucket"))
+        df.where(F.col(key_col).isNotNull())  # null keys never count
+        .select(*group_cols, bucket.alias("bucket"))
         .groupBy(*group_cols, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
@@ -484,7 +492,7 @@ from (
            ((least(greatest(cast({key_sql} as bigint), {lo}), {hi - 1}) - {lo})
             * {n_buckets}) // {hi - lo} as bucket,
            count(*)::bigint as cnt
-    from {table_expr} group by 1, 2
+    from {table_expr} where {key_sql} is not null group by 1, 2
   )
 ) where cum >= greatest(({num} * n + {den - 1}) // {den}, 1)
 group by {groups}""")

@@ -342,3 +342,48 @@ def test_histogram_quantile_rank_is_ceil(spark):
     counts = histogram_build(df, "v", ["grp"], 0, 50, 50)  # width-1 buckets
     [r] = histogram_quantiles(counts, ["grp"], 0, 50, 50, phis=[(1, 2)]).collect()
     assert r["q_est"] == 20
+
+
+def test_null_keys_never_count_any_sketch(spark):
+    """Nulls drop in BOTH engines; a null hash would order NULLS-FIRST
+    in Spark but NULLS-LAST in DuckDB — sketches must never see one."""
+    import duckdb
+    import pandas as pd
+
+    from osm_chordify_spark.operators.sketch import (
+        cms_build, cms_estimate, histogram_build, hll_distinct,
+        hll_oracle_sql, kmv_distinct, kmv_oracle_sql,
+    )
+
+    rows = [("a", f"k{i}") for i in range(200)] + [("a", None)] * 7
+    df = spark.createDataFrame(rows, "grp string, key string")
+    clean = df.where(F.col("key").isNotNull())
+
+    for fn in (
+        lambda d: kmv_distinct(d, "key", ["grp"], k=64),
+        lambda d: hll_distinct(d, "key", ["grp"], p=5),
+    ):
+        a = sorted(map(tuple, fn(df).collect()))
+        b = sorted(map(tuple, fn(clean).collect()))
+        assert a == b
+
+    a = sorted(map(tuple, cms_build(df, "key", 2, 32).collect()))
+    b = sorted(map(tuple, cms_build(clean, "key", 2, 32).collect()))
+    assert a == b
+
+    ints = spark.createDataFrame(
+        [("a", 5), ("a", None), ("a", 7)], "grp string, v bigint"
+    )
+    got = {r["bucket"]: r["cnt"]
+           for r in histogram_build(ints, "v", ["grp"], 0, 10, 10).collect()}
+    assert got == {5: 1, 7: 1}
+
+    # oracle side drops them identically
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["grp", "key"]))
+    want_kmv = con.sql(kmv_oracle_sql("t", "key", ["grp"], k=64)).fetchall()
+    got_kmv = kmv_distinct(df, "key", ["grp"], k=64).collect()
+    assert sorted(map(tuple, got_kmv)) == sorted(map(tuple, want_kmv))
+    want_hll = con.sql(hll_oracle_sql("t", "key", ["grp"], p=5)).fetchall()
+    got_hll = hll_distinct(df, "key", ["grp"], p=5).collect()
+    assert sorted(map(tuple, got_hll)) == sorted(map(tuple, want_hll))
