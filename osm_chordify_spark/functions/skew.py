@@ -77,6 +77,27 @@ def salted_agg(df: DataFrame, key: str, aggs: dict, n_salts: int = 16) -> DataFr
     return phase1.groupBy(key).agg(*finals)
 
 
+def fan_out(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    """Ensure a DataFrame entering an expensive per-row kernel carries at
+    least the session's default parallelism worth of partitions.
+
+    A tiny single-file parquet scan (a few hundred KB) plans as ONE
+    input split (``spark.sql.files.openCostInBytes`` floors the split
+    size, and a single-row-group file can't split anyway), so a
+    downstream ``mapInPandas`` kernel would run on one core no matter
+    how many the cluster has.  A conditional round-robin repartition
+    costs one exchange of the small input and unlocks full parallelism;
+    at lake scale the scan already has ≥ parallelism partitions and this
+    is a no-op — scale-adaptive, not tuned to any fixed core count
+    (guide §2.2/§6: partition count from input size AND cluster size).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def split_hot_cells(
     df: DataFrame, cell_col: str, hot_threshold: int, finer_res_col: Column
 ) -> DataFrame:

@@ -57,6 +57,8 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from osm_chordify_spark import cellindex as ci
 from osm_chordify_spark import geom as G
+from osm_chordify_spark import geom_batch as GB
+from osm_chordify_spark.functions.skew import fan_out
 from osm_chordify_spark.operators import zoneindex as ZI
 from osm_chordify_spark.operators.intersect import (
     Zones,
@@ -92,6 +94,23 @@ def _group_key(zone_buckets: int, salt_buckets: int):
         F.pmod(F.xxhash64("__zid"), F.lit(zone_buckets)).cast("string"),
         F.pmod(F.xxhash64("__eid"), F.lit(salt_buckets)).cast("string"),
     )
+
+
+def _map_batches(df: DataFrame, fn, schema) -> DataFrame:
+    """Run a whole-batch kernel over a DataFrame WITHOUT regrouping.
+
+    The geom_batch kernels treat every row (pair) independently and
+    dedup WKB parses inside each batch, so the grouped-map
+    repartition+sort (one full exchange of the fat payload table) buys
+    nothing — any partitioning works.  Batch width is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of the
+    upstream layout (guide §2.4: remove shuffles outright)."""
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield fn(pdf)
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def _per_zone(kern_zone):
@@ -205,7 +224,8 @@ def _build_candidates(edges, zones_df, zone_fields, zone_renames, edge_renames,
     # below sees the same mapping.  The zone table is the "large but not
     # fact-sized" side — materializing it is the cheap half by contract.
     zindexed = (
-        zones_df.select(
+        fan_out(zones_df)
+        .select(
             F.monotonically_increasing_id().alias("__zid"),
             F.col(geometry_col).alias("__zgeom"),
             *[F.col(zf.name).alias(zone_renames[zf.name]) for zf in zone_fields],
@@ -214,20 +234,20 @@ def _build_candidates(edges, zones_df, zone_fields, zone_renames, edge_renames,
     )
 
     def zone_cells(batches):
+        # batched cover classification (geom_batch): the per-zone Python
+        # loop (~0.3 ms/zone of small-array dispatch) becomes one set of
+        # NumPy passes per Arrow batch — content-identical per-zone
+        # {cell: full} maps by the geom_batch parity contract
         for pdf in batches:
-            zids, cells, fulls = [], [], []
-            for zid, g in zip(pdf["__zid"], pdf["__zgeom"]):
-                polys = G.geometry_polygons(bytes(g))
-                zr = ZI.zone_min_res(polys, index_res, world, max_cells_per_zone)
-                for c, full in ZI.zone_cover_cells(
-                    polys, zr, world, max_cells_per_zone
-                ).items():
-                    zids.append(zid)
-                    cells.append(c)
-                    fulls.append(full)
-            yield pd.DataFrame({"__zid": pd.Series(zids, dtype="int64"),
-                                "cell": pd.Series(cells, dtype="int64"),
-                                "full": pd.Series(fulls, dtype="bool")})
+            polys_list = [G.geometry_polygons(bytes(g)) for g in pdf["__zgeom"]]
+            zidx, cells, fulls = GB.zone_cover_cells_batch(
+                polys_list, index_res, world, max_cells_per_zone
+            )
+            yield pd.DataFrame(
+                {"__zid": pdf["__zid"].to_numpy()[zidx],
+                 "cell": pd.Series(cells, dtype="int64"),
+                 "full": pd.Series(fulls, dtype="bool")}
+            )
 
     # materialized once: read twice (res-list collect + the equi-join)
     zcells = zindexed.select("__zid", "__zgeom").mapInPandas(
@@ -236,7 +256,14 @@ def _build_candidates(edges, zones_df, zone_fields, zone_renames, edge_renames,
     res_list = _zone_res_list(zcells) or [index_res]
 
     # ---- edge side: ids + (cell, n_cells, rounded length) cover rows ----
-    e = edges.withColumn("__eid", F.monotonically_increasing_id())
+    # fan_out: a tiny single-split fact scan would otherwise run the
+    # cover/clip kernels on one core.  Ids are assigned BEFORE the
+    # repartition: monotonically_increasing_id on the narrow scan plan is
+    # deterministic, so the two consumers of ``e`` (payload + cover
+    # explode) see identical ids even though each re-executes the
+    # exchange; assigning after the shuffle would tie ids to block-fetch
+    # order and silently break the candidate join.
+    e = fan_out(edges.withColumn("__eid", F.monotonically_increasing_id()))
     epay = e.select(
         "__eid",
         F.col("geometry").alias("__egeom"),
@@ -404,17 +431,75 @@ def intersect_lines_with_zones_dist(
             out["__zid"] = base["__zid"]
         return pd.DataFrame(out, columns=out_names)
 
+    def kern_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Whole-group clip kernel (keep_geometry=False): every
+        (edge, zone) pair of the Arrow group in one geom_batch pass —
+        each distinct edge/zone WKB parsed once, totals
+        accumulation-order-identical to _exact_clip_edges_vs_zone
+        (clip_pairs_totals parity contract)."""
+        contained = pdf["__contained"].to_numpy()
+        elen = pdf["__elen"].to_numpy(np.float64)
+        n = len(pdf)
+        pend = np.nonzero(~contained)[0]
+        zone_len = np.where(contained, elen, 0.0)
+        if len(pend):
+            eids = pdf["__eid"].to_numpy()[pend]
+            zids = pdf["__zid"].to_numpy()[pend]
+            _ue, efirst, ec = np.unique(eids, return_index=True, return_inverse=True)
+            _uz, zfirst, zc = np.unique(zids, return_index=True, return_inverse=True)
+            egeoms = pdf["__egeom"]
+            zgeoms = pdf["__zgeom"]
+            edge_lines = [
+                G.geometry_lines(bytes(egeoms.iloc[int(pend[i])])) for i in efirst
+            ]
+            zone_polys = [
+                G.geometry_polygons(bytes(zgeoms.iloc[int(pend[i])])) for i in zfirst
+            ]
+            zone_len[pend] = GB.clip_pairs_totals(edge_lines, ec, zone_polys, zc)
+        # rounding via Python round() — the exact idiom of the per-zone
+        # kernel (banker's rounding on the decimal repr, not np.round)
+        zl = [
+            float(elen[i]) if contained[i] else round(float(zone_len[i]), 2)
+            for i in range(n)
+        ]
+        keep = [
+            i for i in range(n)
+            if contained[i] or zl[i] > 0
+        ]
+        mpv = [
+            (1.0 if elen[i] > 0 else 0.0) if contained[i]
+            else (round(zl[i] / elen[i], 4) if elen[i] > 0 else 0.0)
+            for i in keep
+        ]
+        base = pdf.iloc[keep].reset_index(drop=True)
+        out = {
+            mp: mpv,
+            me: [float(elen[i]) for i in keep],
+            mz: [zl[i] for i in keep],
+        }
+        for c in attr_names:
+            out[c] = base[c]
+        if include_void_zones:
+            out["__zid"] = base["__zid"]
+        return pd.DataFrame(out, columns=out_names)
+
     # ---- re-attach payloads, run the exact kernel per zone group --------
     mode = _resolve_reattach(reattach, zindexed, cogroup_wkb_bytes)
     if mode == "join":
         from osm_chordify_spark.operators.graph import _grouped_map
 
-        work = (
-            cand.join(zindexed, "__zid")
-            .join(epay, "__eid")
-            .withColumn("__gk", _group_key(zone_buckets, salt_buckets))
-        )
-        result = _grouped_map(work, "__gk", _per_zone(kern_zone), kern_schema)
+        work = cand.join(zindexed, "__zid").join(epay, "__eid")
+        if keep_geometry:
+            # per-pair piece reconstruction is inherently per-zone Python
+            # — keep the zone-bucketed grouped map for that shape
+            result = _grouped_map(
+                work.withColumn("__gk", _group_key(zone_buckets, salt_buckets)),
+                "__gk", _per_zone(kern_zone), kern_schema,
+            )
+        else:
+            # metrics-only (the lake-scale shape): pairs are independent
+            # under the batched kernel, so no regroup exchange at all
+            result = _map_batches(work, kern_batch, kern_schema)
     else:
         result = _cogroup_reattach(
             cand.join(epay, "__eid"), zindexed, zattr_cols, kern_zone,
@@ -734,25 +819,21 @@ def nearest_zone_dist(
     would have returned its best-seen — a strictly-more-correct
     superset, pinned by the parity test within ``max_ring``)."""
     # ---- zone side: frozen ids + cover-cell table (shared classifiers)
-    zindexed = zones_df.select(
+    zindexed = fan_out(zones_df).select(
         F.monotonically_increasing_id().alias("__zid"),
         F.col(zone_id_col).alias("__zname"),
         F.col(geometry_col).alias("__zgeom"),
     ).localCheckpoint(eager=True)
 
     def zone_cells(batches):
+        # batched cover classification — see _build_candidates.zone_cells
         for pdf in batches:
-            zids, cells = [], []
-            for zid, g in zip(pdf["__zid"], pdf["__zgeom"]):
-                polys = G.geometry_polygons(bytes(g))
-                zr = ZI.zone_min_res(polys, index_res, world, max_cells_per_zone)
-                for c in ZI.zone_cover_cells(
-                    polys, zr, world, max_cells_per_zone
-                ):
-                    zids.append(zid)
-                    cells.append(c)
+            polys_list = [G.geometry_polygons(bytes(g)) for g in pdf["__zgeom"]]
+            zidx, cells, _fulls = GB.zone_cover_cells_batch(
+                polys_list, index_res, world, max_cells_per_zone
+            )
             yield pd.DataFrame(
-                {"__zid": pd.Series(zids, dtype="int64"),
+                {"__zid": pdf["__zid"].to_numpy()[zidx],
                  "__cell": pd.Series(cells, dtype="int64")}
             )
 
@@ -766,7 +847,7 @@ def nearest_zone_dist(
     px, py = point_xy
     # internal ordinal point id (frozen): the search state schemas are
     # long-typed, and user ids may be strings — mapped back at the end
-    psrc = points.select(
+    psrc = fan_out(points).select(
         F.monotonically_increasing_id().alias("__pid"),
         F.col(point_id).alias("__pname"),
         F.col(px).alias("__px"),
@@ -774,23 +855,22 @@ def nearest_zone_dist(
     ).localCheckpoint(eager=True)
     pbase = psrc.select("__pid", "__px", "__py")
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        polys = G.geometry_polygons(bytes(pdf["__zgeom"].iloc[0]))
-        qx = pdf["__px"].to_numpy(np.float64)
-        qy = pdf["__py"].to_numpy(np.float64)
-        inside = np.zeros(len(pdf), dtype=bool)
-        for rings in polys:
-            inside |= G.point_in_polygon(qx, qy, rings)
-        best = np.full(len(pdf), np.inf)
-        for rings in polys:
-            for ring in rings:
-                r = G.ring_close(ring)
-                for i in range(len(r) - 1):
-                    d = G.point_segment_dist(
-                        qx, qy, r[i, 0], r[i, 1], r[i + 1, 0], r[i + 1, 1]
-                    )
-                    best = np.minimum(best, np.asarray(d, dtype=np.float64))
-        best[inside] = 0.0
+    def score_many(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Whole-group exact scorer: every (point, zone) pair of the
+        Arrow group in one geom_batch pass — each distinct zone's WKB is
+        parsed once; distances and inside flags are bit-identical to the
+        old per-zone loop (geom_batch parity contract)."""
+        zid = pdf["__zid"].to_numpy()
+        _uniq, first, inv = np.unique(zid, return_index=True, return_inverse=True)
+        geoms = pdf["__zgeom"]
+        fz = GB.FlatZones(
+            [G.geometry_polygons(bytes(geoms.iloc[int(i)])) for i in first]
+        )
+        best, _inside = fz.min_dist_inside(
+            inv,
+            pdf["__px"].to_numpy(np.float64),
+            pdf["__py"].to_numpy(np.float64),
+        )
         return pd.DataFrame(
             {"__pid": pdf["__pid"], "__zid": pdf["__zid"], "__dist": best}
         )
@@ -908,18 +988,11 @@ def nearest_zone_dist(
                 .select("__pid", "__px", "__py", "__zid")
                 .distinct()
                 .join(zindexed.select("__zid", "__zgeom"), "__zid")
-                .withColumn(
-                    "__gk",
-                    F.concat_ws(
-                        "#",
-                        F.pmod(F.xxhash64("__zid"), F.lit(zone_buckets)),
-                        F.pmod(F.xxhash64("__pid"), F.lit(salt_buckets)),
-                    ),
-                )
             )
-            scored = _grouped_map(
-                cand, "__gk", _per_zone(score),
-                "__pid long, __zid long, __dist double",
+            # pairs are independent under the batched scorer: no regroup
+            # exchange (see _map_batches)
+            scored = _map_batches(
+                cand, score_many, "__pid long, __zid long, __dist double"
             )
             allc = scored if best is None else scored.unionByName(best)
             return (
@@ -943,18 +1016,11 @@ def nearest_zone_dist(
                 .select("__pid", "__px", "__py", "__zid")
                 .distinct()
                 .join(zindexed.select("__zid", "__zgeom"), "__zid")
-                .withColumn(
-                    "__gk",
-                    F.concat_ws(
-                        "#",
-                        F.pmod(F.xxhash64("__zid"), F.lit(zone_buckets)),
-                        F.pmod(F.xxhash64("__pid"), F.lit(salt_buckets)),
-                    ),
-                )
             )
-            scored = _grouped_map(
-                cand, "__gk", _per_zone(score),
-                "__pid long, __zid long, __dist double",
+            # pairs are independent under the batched scorer: no regroup
+            # exchange (see _map_batches)
+            scored = _map_batches(
+                cand, score_many, "__pid long, __zid long, __dist double"
             )
             allc = scored if best is None else scored.unionByName(best)
             # tie-break on the USER-VISIBLE zone id (lexicographic), not
