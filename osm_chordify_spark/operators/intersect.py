@@ -45,6 +45,7 @@ from pyspark.sql.types import (
 
 from osm_chordify_spark import cellindex as ci
 from osm_chordify_spark import geom as G
+from osm_chordify_spark.functions.skew import fan_out
 from osm_chordify_spark.operators.zoneindex import ZoneIndex
 
 # -- metric / column naming contracts ---------------------------------------
@@ -478,7 +479,9 @@ def intersect_lines_with_zones(
                     emit(r, z, prop, edge_len, zone_len, pieces_per[cr] or [])
             yield pd.DataFrame(out_rows, columns=out_cols)
 
-    result = edges.mapInPandas(compute, schema=schema)
+    # fan_out: a tiny single-split fact scan would otherwise run the
+    # whole kernel on one core (per-edge results are batch-independent)
+    result = fan_out(edges).mapInPandas(compute, schema=schema)
     if include_void_zones:
         result = _append_void_rows(result, edges, zones, schema, zone_renames)
         result = result.drop("__zone_ord")
@@ -670,7 +673,7 @@ def intersect_polygons_with_zones(
                     out_rows.append(row)
             yield pd.DataFrame(out_rows, columns=[f.name for f in schema.fields])
 
-    return polys.mapInPandas(compute, schema=schema)
+    return fan_out(polys).mapInPandas(compute, schema=schema)
 
 
 # -- spatial left join ----------------------------------------------------------
@@ -810,4 +813,4 @@ def spatial_left_join_with_zones(
                         out_rows.append(row)
             yield pd.DataFrame(out_rows, columns=[f.name for f in schema.fields])
 
-    return df.mapInPandas(compute, schema=schema)
+    return fan_out(df).mapInPandas(compute, schema=schema)
