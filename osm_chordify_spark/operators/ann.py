@@ -63,7 +63,13 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     )
-    v = vectors.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vvec"))
+    from osm_chordify_spark.functions.skew import fan_out
+
+    # fan_out: the per-row cosine HOF chain over d-dim arrays is the
+    # heavy stage; a tiny single-split scan would run it on one core
+    v = fan_out(vectors).select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vvec")
+    )
     sim = cosine(F.col("__qvec"), F.col("__vvec"))
     if round_dp is not None:
         sim = F.round(sim, round_dp)

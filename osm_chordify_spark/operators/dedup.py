@@ -279,7 +279,11 @@ def minhash_lsh_pairs(
     if verify not in ("exact", "estimate"):
         raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
     rows = num_perm // bands
-    sig = df.select(
+    from osm_chordify_spark.functions.skew import fan_out
+
+    # fan_out: the shingle/signature kernel is the heavy per-row stage;
+    # a tiny single-split scan would run it on one core
+    sig = fan_out(df).select(
         F.col(id_col).alias("id"),
         shingles_and_signature_np(F.col(text_col), num_perm, shingle_k).alias("__ss"),
     ).select("id", F.col("__ss.sh").alias("sh"), F.col("__ss.sig").alias("sig"))
@@ -727,7 +731,9 @@ def exact_substring_pairs(
     item 5); completes exact/MinHash/SimHash/embedding dedup with the
     substring family of Lee et al., "Deduplicating Training Data Makes
     Language Models Better" (public paper), re-expressed bucketed."""
-    toks = df.select(
+    from osm_chordify_spark.functions.skew import fan_out
+
+    toks = fan_out(df).select(
         F.col(id_col).alias("__doc"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
     ).filter(F.size("toks") >= min_tokens)

@@ -112,7 +112,14 @@ def doc_fingerprint(text: Column, k: int = 8) -> Column:
 
 
 def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """All analysis columns in one projection."""
+    """All analysis columns in one projection.
+
+    fan_out: the projection is a heavy per-row codegen chain (regex
+    splits, token HOFs); a tiny single-split scan would run it on one
+    core (6x measured on the sf0.1 gate)."""
+    from osm_chordify_spark.functions.skew import fan_out
+
+    df = fan_out(df)
     t = F.col(text_col)
     feats = quality_features(t)
     return (

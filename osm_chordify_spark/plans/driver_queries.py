@@ -35,31 +35,12 @@ def register(name, oracle=None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    import os
-
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # A small single-file table plans as ONE scan split (openCostInBytes
-    # floors the split size; one row group can't split), so every
-    # downstream kernel — JVM codegen or Arrow — runs on one core.
-    # Round-robin repartition spreads the rows across the session's
-    # parallelism; skipped for dimension tables small enough that the
-    # extra exchange would just tax their broadcast, and for inputs big
-    # enough to already plan multiple splits (the at-scale shape, where
-    # this is a no-op).  Every query here is partition-independent (the
-    # driver's value hash is order-insensitive; no partition-sensitive
-    # functions in any query path).
-    size = os.path.getsize(f"{sf_dir}/{name}.parquet")
-    if 100_000 < size < (64 << 20):
-        df = df.repartition(spark.sparkContext.defaultParallelism)
-    return df
-
-
-def _t_seq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Plain single-split read WITHOUT the fan-out repartition — for the
-    few queries whose value contract involves an order-sensitive float
-    aggregate (a double ``avg``): their oracles were pinned against the
-    sequential scan order, which a round-robin repartition perturbs in
-    the last ulp."""
+    # NOTE: no blanket fan-out here.  A loader-level repartition was
+    # measured in round 6: it wins big for per-row-heavy consumers but
+    # taxes cheap-aggregate and iterative queries (each extra exchange
+    # re-executes per round), netting negative for half the bench.  The
+    # fan-out lives INSIDE the operators whose kernels need it
+    # (functions.skew.fan_out), where the consumer shape is known.
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1414,7 +1395,10 @@ def text_analysis(spark, sf_dir):
     """Token counting, BPE-ish tokenization, language id, rolling
     fingerprint — one codegen projection (reference analog: the tag
     extraction/normalization layer, tags.py regex patterns)."""
-    docs = _t(spark, sf_dir, "documents")
+    from osm_chordify_spark.functions.skew import fan_out
+
+    # heavy per-row regex/HOF projection: spread the single-split scan
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -1950,9 +1934,7 @@ def add_edge_speeds_q(spark, sf_dir):
     k integral, never an exact tie."""
     from osm_chordify_spark.operators.graph import add_edge_speeds
 
-    # _t_seq: the double avg() imputation is summation-order-sensitive;
-    # the oracle is pinned against the sequential scan order
-    li = _t_seq(spark, sf_dir, "lineitem").select(
+    li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
         F.when(F.col("l_linenumber") % 2 == 0, "primary")
