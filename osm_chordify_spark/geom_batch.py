@@ -506,12 +506,16 @@ def _clip_chunk(totals, sl, ec, zc, eax, eay, eex, eey, eline, eseg_len,
     totals[sl] = sub
 
 
-def zone_cover_cells_batch(polys_list, res: int, world, max_cells_per_zone: int):
+def zone_cover_cells_batch(polys_list, res: int, world, max_cells_per_zone: int,
+                           return_bbox: bool = False):
     """Batched equivalent of ``zoneindex.zone_min_res`` +
     ``zoneindex.zone_cover_cells`` over MANY zones: returns
     (zone_idx int64, cell int64, full bool) arrays whose per-zone
     {cell: full} content is identical to the per-zone loop (set-equal
-    cells, OR-merged full flags across a zone's polygons).
+    cells, OR-merged full flags across a zone's polygons).  With
+    ``return_bbox`` a 4-tuple of per-ZONE bbox arrays (outer-ring
+    min/max over the zone's polygons, aligned with ``polys_list``) is
+    appended — the candidate-prefilter side channel.
 
     Steps (all NumPy passes; the only Python loop is the per-polygon
     ring flatten):
@@ -539,9 +543,16 @@ def zone_cover_cells_batch(polys_list, res: int, world, max_cells_per_zone: int)
             poly_zone.append(u)
             poly_rings.append(rings)
     n_zones = len(polys_list)
-    if not poly_rings:
+
+    def _empty():
         e = np.empty(0, dtype=np.int64)
+        if return_bbox:
+            inf = np.full(n_zones, np.inf)
+            return e, e, np.empty(0, dtype=bool), (inf, inf, -inf, -inf)
         return e, e, np.empty(0, dtype=bool)
+
+    if not poly_rings:
+        return _empty()
     poly_zone = np.asarray(poly_zone, dtype=np.int64)
 
     # outer-ring bboxes (zone_min_res / zone_cover_cells use rings[0])
@@ -614,9 +625,18 @@ def zone_cover_cells_batch(polys_list, res: int, world, max_cells_per_zone: int)
     counts = ncx * ncy
     coff = np.concatenate(([0], np.cumsum(counts)))
     total = int(coff[-1])
+    if return_bbox:
+        zbx0 = np.full(n_zones, np.inf)
+        zby0 = np.full(n_zones, np.inf)
+        zbx1 = np.full(n_zones, -np.inf)
+        zby1 = np.full(n_zones, -np.inf)
+        np.minimum.at(zbx0, poly_zone, bx0)
+        np.minimum.at(zby0, poly_zone, by0)
+        np.maximum.at(zbx1, poly_zone, bx1)
+        np.maximum.at(zby1, poly_zone, by1)
+        zbbox = (zbx0, zby0, zbx1, zby1)
     if total == 0:
-        e = np.empty(0, dtype=np.int64)
-        return e, e, np.empty(0, dtype=bool)
+        return _empty()
     cell_poly = np.repeat(np.arange(len(outers), dtype=np.int64), counts)
     local = np.arange(total, dtype=np.int64) - np.repeat(coff[:-1], counts)
     ny = ncy[cell_poly]
@@ -653,4 +673,6 @@ def zone_cover_cells_batch(polys_list, res: int, world, max_cells_per_zone: int)
         zidx = zidx[first]
         kcells = kcells[first]
         kfull = gfull
+    if return_bbox:
+        return zidx, kcells, kfull, zbbox
     return zidx, kcells, kfull
