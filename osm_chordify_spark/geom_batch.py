@@ -507,7 +507,7 @@ def _clip_chunk(totals, sl, ec, zc, eax, eay, eex, eey, eline, eseg_len,
 
 
 def zone_cover_cells_batch(polys_list, res: int, world, max_cells_per_zone: int,
-                           return_bbox: bool = False):
+                           return_bbox: bool = False, return_res: bool = False):
     """Batched equivalent of ``zoneindex.zone_min_res`` +
     ``zoneindex.zone_cover_cells`` over MANY zones: returns
     (zone_idx int64, cell int64, full bool) arrays whose per-zone
@@ -546,10 +546,13 @@ def zone_cover_cells_batch(polys_list, res: int, world, max_cells_per_zone: int,
 
     def _empty():
         e = np.empty(0, dtype=np.int64)
+        out = [e, e, np.empty(0, dtype=bool)]
         if return_bbox:
             inf = np.full(n_zones, np.inf)
-            return e, e, np.empty(0, dtype=bool), (inf, inf, -inf, -inf)
-        return e, e, np.empty(0, dtype=bool)
+            out.append((inf, inf, -inf, -inf))
+        if return_res:
+            out.append(np.full(n_zones, res, dtype=np.int64))
+        return tuple(out)
 
     if not poly_rings:
         return _empty()
@@ -673,6 +676,9 @@ def zone_cover_cells_batch(polys_list, res: int, world, max_cells_per_zone: int,
         zidx = zidx[first]
         kcells = kcells[first]
         kfull = gfull
+    out = [zidx, kcells, kfull]
     if return_bbox:
-        return zidx, kcells, kfull, zbbox
-    return zidx, kcells, kfull
+        out.append(zbbox)
+    if return_res:
+        out.append(zone_res)
+    return tuple(out) if len(out) > 3 else (zidx, kcells, kfull)

@@ -733,10 +733,13 @@ def exact_substring_pairs(
     Language Models Better" (public paper), re-expressed bucketed."""
     from osm_chordify_spark.functions.skew import fan_out
 
+    # toks is consumed three times (segment build + both re-attach
+    # joins) and the tokenizer chain is interpreted-HOF-heavy:
+    # materialize once (eager, intra-query)
     toks = fan_out(df).select(
         F.col(id_col).alias("__doc"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
-    ).filter(F.size("toks") >= min_tokens)
+    ).filter(F.size("toks") >= min_tokens).localCheckpoint(eager=True)
 
     # breakpoint positions (0-based), then (start, length) per segment
     bps = F.filter(
@@ -775,6 +778,9 @@ def exact_substring_pairs(
             .drop("__bn")
         )
 
+    # the self-join would otherwise evaluate the whole breakpoint/
+    # segment-hash chain TWICE (interpreted HOFs dominate this operator)
+    segs = segs.localCheckpoint(eager=True)
     a = segs.alias("a")
     b = segs.alias("b")
     cands = (

@@ -148,24 +148,22 @@ class ZoneIndex:
         guard); zones that fit at ``res`` stay at ``res``."""
         parsed = [(zid, parse_zone_polys(geom_)) for zid, geom_ in zones]
 
-        cell_list, zone_list, full_list = [], [], []
-        zone_ids, zone_rings, zres = [], [], []
-        for ordinal, (zid, polys) in enumerate(parsed):
-            zone_ids.append(zid)
-            zone_rings.append(polys)
-            zr = zone_min_res(polys, res, world, max_cells_per_zone)
-            zres.append(zr)
-            seen = zone_cover_cells(polys, zr, world, max_cells_per_zone)
-            for c, full in seen.items():
-                cell_list.append(c)
-                zone_list.append(ordinal)
-                full_list.append(full)
+        zone_ids = [zid for zid, _ in parsed]
+        zone_rings = [polys for _, polys in parsed]
+        # batched cover classification (geom_batch): one set of NumPy
+        # passes over ALL zones instead of ~0.3 ms/zone of small-array
+        # dispatch — per-zone {cell: full} content is pinned identical
+        # to zone_min_res + zone_cover_cells
+        from osm_chordify_spark import geom_batch as GB
 
-        cell_arr = np.asarray(cell_list, dtype=np.int64)
+        zone_arr32, cell_arr, full_arr, zres = GB.zone_cover_cells_batch(
+            zone_rings, res, world, max_cells_per_zone, return_res=True
+        )
+
         order = np.argsort(cell_arr, kind="stable")
         cell_arr = cell_arr[order]
-        zone_arr = np.asarray(zone_list, dtype=np.int32)[order]
-        full_arr = np.asarray(full_list, dtype=bool)[order]
+        zone_arr = zone_arr32.astype(np.int32)[order]
+        full_arr = np.asarray(full_arr, dtype=bool)[order]
         uniq, start = np.unique(cell_arr, return_index=True)
         offsets = np.append(start, len(cell_arr)).astype(np.int64)
         zone_res = np.asarray(zres, dtype=np.int64)
