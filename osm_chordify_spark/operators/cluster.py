@@ -109,7 +109,12 @@ def kmeans_assign(
     scale: int = 1024,
 ) -> DataFrame:
     """Integer-exact Lloyd k-means; returns (id, cluster, dist) with
-    dist the final squared quantized distance (bigint)."""
+    dist the final squared quantized distance (bigint).
+
+    Precondition: ``id_col`` values are unique.  Seeding takes the k
+    smallest md5-hash rows; a duplicated id would occupy two seed slots
+    here while the SQL oracle replay seeds over ``distinct id`` — the
+    two would silently diverge on such input."""
     if k < 1 or iters < 1:
         raise ValueError(f"need k >= 1 and iters >= 1, got k={k} iters={iters}")
     if scale & (scale - 1):

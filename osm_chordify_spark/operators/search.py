@@ -140,14 +140,19 @@ def bm25_topk(
             / (F.col("df") + F.lit(0.5))
             + F.lit(1.0)
         )
-        tf_part = (
-            F.col("tf") * F.lit(2.2) * F.col("total_len")
-        ) / (
+        den = (
             F.lit(20.0) * F.col("total_len") * F.col("tf")
             + F.lit(6.0) * F.col("total_len")
             + F.lit(18.0) * F.col("dl") * F.col("n_docs")
-        ) * F.lit(20.0)
-        contrib = F.floor(F.lit(float(_IDF_SCALE)) * idf * tf_part)
+        )
+        # operation order IDENTICAL to bm25_reference_scores —
+        # (((scale·idf)·(tf·2.2·L)) / den) · 20 — so the two float paths
+        # can never disagree by an association ulp that flips the floor
+        contrib = F.floor(
+            F.lit(float(_IDF_SCALE)) * idf
+            * (F.col("tf") * F.lit(2.2) * F.col("total_len"))
+            / den * F.lit(20.0)
+        )
     per_doc = scored.groupBy("query_id", "doc_id").agg(
         F.sum(contrib).cast("bigint").alias("score_micro")
     )

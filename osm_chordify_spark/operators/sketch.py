@@ -383,8 +383,10 @@ from s
 # ≤ n_buckets bigints per group, merge = plain cell sum (the same
 # order-independence argument as CMS) — and answers any phi with a
 # cumulative walk.  The error contract is VALUE-resolution, not rank:
-# the answer is the exact lower edge of the bucket containing the
-# phi-quantile, so it is within (hi-lo)/n_buckets of the true value
+# the answer is the floored-division edge of the bucket containing the
+# phi-quantile (when n_buckets does not divide hi-lo the true lower
+# edge is the ceil idiom, up to 1 below it — cross-engine consistent
+# either way), so it is within (hi-lo)/n_buckets of the true value
 # (rank position itself is exact).  A KLL/t-digest would adapt the grid
 # but needs order-dependent float merges that no cross-engine value
 # hash survives; the fixed grid keeps every number a bigint.
@@ -431,10 +433,14 @@ def histogram_quantiles(
     phis: list[tuple[int, int]] = ((1, 4), (1, 2), (3, 4)),
 ) -> DataFrame:
     """Quantile estimates off a histogram state: for each rational
-    phi = num/den, the exact lower edge of the bucket holding the
+    phi = num/den, the floored-division edge of the bucket holding the
     ceil(phi·n)-th value (1-indexed).  Output: (group..., phi_num,
     phi_den, q_est) — q_est = lo + bucket·(hi-lo) div n_buckets, all
-    bigint, cross-engine exact."""
+    bigint, cross-engine exact.  (When n_buckets does not divide hi-lo
+    this floors: the value can sit up to 1 below the bucket's true
+    lower edge ceil(b·(hi-lo)/n_buckets) — within the sketch's value
+    resolution, and identical in every engine; the oracle replays the
+    same idiom.)"""
     from pyspark.sql import Window
 
     w = (

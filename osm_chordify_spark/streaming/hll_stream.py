@@ -55,9 +55,12 @@ def hll_register_stream(
     rho = F.lit(max_rho) - F.when(w == 0, F.lit(0)).otherwise(
         F.length(F.bin(w))
     )
-    base = events
+    base = events.where(F.col(key_col).isNotNull())  # null keys never
+    # count — the batch hll_registers contract; without this a null key
+    # yields a (bucket=NULL, register=NULL) row that inflates n_buckets
+    # and breaks stream≡batch parity
     if events.isStreaming:
-        base = events.withWatermark(ts_col, watermark)
+        base = base.withWatermark(ts_col, watermark)
     return (
         base.select(
             F.col(ts_col), *group_cols,

@@ -38,9 +38,11 @@ def histogram_count_stream(
         f"((least(greatest(cast({key_col} as bigint), {lo}), {hi - 1}) - {lo})"
         f" * {n_buckets}) div {hi - lo}"
     )
-    base = events
+    base = events.where(F.col(key_col).isNotNull())  # null values never
+    # count — the batch histogram_build contract; a bucket=NULL count row
+    # would inflate n and shift the ceil-rank targets in the finalize walk
     if events.isStreaming:
-        base = events.withWatermark(ts_col, watermark)
+        base = base.withWatermark(ts_col, watermark)
     return (
         base.select(F.col(ts_col), *group_cols, bucket.alias("bucket"))
         .groupBy(F.window(ts_col, window).alias("win"), *group_cols, "bucket")
