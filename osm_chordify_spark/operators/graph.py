@@ -134,16 +134,70 @@ def _min_label_prop(
     return labels
 
 
+CC_LOCAL_MAX_EDGES = 200_000
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
     doublings_per_round: int = 3,
+    local_max_edges: int = CC_LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """Undirected connected components → (id, component) where component
-    is the min vertex id of the component.  Symmetrizes the edge list
-    and delegates to the directed min-label propagation loop."""
+    is the min vertex id of the component.
+
+    Small edge lists (≤ ``local_max_edges``, decided by one bounded
+    limit-probe collect — the scc/vectorize small-input dispatch
+    pattern) run driver-side union-find: the distributed min-label loop
+    costs O(log diameter) rounds of shuffle+checkpoint jobs, which for
+    a few thousand duplicate-pair edges is pure fixed overhead.  The
+    contract is identical (component = min member id), so the dispatch
+    is invisible.  Larger inputs symmetrize and delegate to the
+    scalable propagation loop unchanged."""
+    probe = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .limit(local_max_edges + 1)
+        .collect()
+    )
+    if len(probe) <= local_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in probe:
+            a, b = row.a, row.b
+            # the distributed path's a != b filter drops self-loops AND
+            # any null endpoint (three-valued comparison) — match both
+            if a is None or b is None or a == b:
+                continue
+            for v in (a, b):
+                if v not in parent:
+                    parent[v] = v
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for v in parent:
+            r = find(v)
+            m = comp_min.get(r)
+            if m is None or v < m:
+                comp_min[r] = v
+        from pyspark.sql.types import StructField, StructType
+
+        dt = pairs.schema[src].dataType
+        schema = StructType(
+            [StructField("id", dt), StructField("component", dt)]
+        )
+        rows = [(v, comp_min[find(v)]) for v in parent]
+        return pairs.sparkSession.createDataFrame(rows, schema)
     sym = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -876,13 +876,18 @@ def nearest_zone_dist(
 
     px, py = point_xy
     # internal ordinal point id (frozen): the search state schemas are
-    # long-typed, and user ids may be strings — mapped back at the end
-    psrc = fan_out(points).select(
-        F.monotonically_increasing_id().alias("__pid"),
-        F.col(point_id).alias("__pname"),
-        F.col(px).alias("__px"),
-        F.col(py).alias("__py"),
-    ).localCheckpoint(eager=True)
+    # long-typed, and user ids may be strings — mapped back at the end.
+    # LAZY checkpoint: both consumers (search branch, final name-join)
+    # must see identical ids, but materialization can ride the first
+    # action instead of paying its own barrier job up front.
+    psrc = fan_out(
+        points.select(
+            F.monotonically_increasing_id().alias("__pid"),
+            F.col(point_id).alias("__pname"),
+            F.col(px).alias("__px"),
+            F.col(py).alias("__py"),
+        )
+    ).localCheckpoint(eager=False)
     pbase = psrc.select("__pid", "__px", "__py")
 
     def score_many(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -943,9 +948,10 @@ def nearest_zone_dist(
         cell_h = (y1 - y0) / n
         cell_min = min(cell_w, cell_h)
         zc_r = zcells.filter(F.shiftright("__cell", 58) == rr)
+        # lazy: materializes with round 1's first action, reused after
         unresolved = pbase.withColumn(
             "__pcell", cell_expr(F.col("__px"), F.col("__py"), rr, world)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
         _MASK = (1 << 29) - 1
 
@@ -1078,12 +1084,14 @@ def nearest_zone_dist(
                 finished.append(still.select("__pid", "__zid", "__dist"))
                 break
             # a point stays unresolved until RESOLVED — including points
-            # whose annuli so far found no candidate at all (not ranked)
-            nxt_unres = unresolved.join(
-                done.select("__pid"), "__pid", "left_anti"
-            ).localCheckpoint(eager=True)
-            if nxt_unres.isEmpty():
+            # whose annuli so far found no candidate at all (not ranked).
+            # isEmpty probes the lazy anti-join first (a limit-1 job) so
+            # the common everyone-resolved-in-round-1 exit never pays a
+            # full materialization of an empty survivor set
+            nxt = unresolved.join(done.select("__pid"), "__pid", "left_anti")
+            if nxt.isEmpty():
                 break
+            nxt_unres = nxt.localCheckpoint(eager=True)
             best = still.select("__pid", "__zid", "__dist")
             unresolved = nxt_unres
             rounds += 1
