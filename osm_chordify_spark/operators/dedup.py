@@ -120,8 +120,14 @@ def ngram_jaccard_pairs(
 def dedup_from_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Drop every row whose id belongs to a duplicate group but is not
     the group's min id (transitive closure via connected components)."""
+    from osm_chordify_spark.operators.graph import CC_LOCAL_MAX_EDGES
+
+    # verified duplicate pairs are tiny relative to the corpus (and the
+    # minhash path arrives already materialized): the local union-find
+    # dispatch skips the min-label loop's per-round job overhead
     comp = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        local_max_edges=CC_LOCAL_MAX_EDGES,
     )
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)

@@ -134,7 +134,7 @@ def _min_label_prop(
     return labels
 
 
-CC_LOCAL_MAX_EDGES = 200_000
+CC_LOCAL_MAX_EDGES = 20_000
 
 
 def connected_components(
@@ -143,7 +143,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 30,
     doublings_per_round: int = 3,
-    local_max_edges: int = CC_LOCAL_MAX_EDGES,
+    local_max_edges: int = 0,
 ) -> DataFrame:
     """Undirected connected components → (id, component) where component
     is the min vertex id of the component.
@@ -155,13 +155,21 @@ def connected_components(
     a few thousand duplicate-pair edges is pure fixed overhead.  The
     contract is identical (component = min member id), so the dispatch
     is invisible.  Larger inputs symmetrize and delegate to the
-    scalable propagation loop unchanged."""
+    scalable propagation loop unchanged.
+
+    OPT-IN (``local_max_edges=0`` disables): the limit probe EXECUTES
+    the pairs plan — behind a ``distinct`` the limit cannot push down,
+    so a caller whose pair-building subtree is expensive and lazy
+    (consolidate_intersections' close-pair join) would pay for it twice
+    when the threshold is exceeded.  Callers whose pairs are small or
+    already materialized (the dedup family's verified duplicate pairs)
+    pass a threshold explicitly."""
     probe = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .limit(local_max_edges + 1)
         .collect()
-    )
-    if len(probe) <= local_max_edges:
+    ) if local_max_edges > 0 else None
+    if probe is not None and len(probe) <= local_max_edges:
         parent: dict = {}
 
         def find(x):
@@ -196,8 +204,13 @@ def connected_components(
         schema = StructType(
             [StructField("id", dt), StructField("component", dt)]
         )
-        rows = [(v, comp_min[find(v)]) for v in parent]
-        return pairs.sparkSession.createDataFrame(rows, schema)
+        ids = list(parent)
+        pdf = pd.DataFrame(
+            {"id": ids, "component": [comp_min[find(v)] for v in ids]}
+        )
+        # Arrow path (enabled in the session factory) — the pickled-rows
+        # createDataFrame was the slow half of the dispatch
+        return pairs.sparkSession.createDataFrame(pdf, schema)
     sym = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -41,21 +41,33 @@ def test_tpch_q3_broadcasts_dims(spark):
 
 def test_zone_intersect_fact_side_never_shuffles(spark):
     """The broadcast spatial join is map-side: between the parquet scan
-    and the MapInPandas kernel there must be NO Exchange."""
+    and the MapInPandas kernel the fact side is never shuffled BY KEY.
+    The one allowed exchange is the round-6 fan-out — a conditional
+    round-robin repartition that spreads a tiny single-split scan across
+    the session's cores (functions.skew.fan_out; a no-op whenever the
+    scan already carries >= parallelism splits, i.e. at any real scale),
+    which moves no row to any particular place and redistributes the
+    same bytes exactly once."""
     plan = _plan(spark, "zone_intersect_lines")
     kernel_pos = plan.index("MapInPandas")
     pre_kernel = plan[kernel_pos:]  # everything BELOW the kernel in the tree
-    assert "Exchange" not in pre_kernel
+    assert "hashpartitioning" not in pre_kernel
+    assert "rangepartitioning" not in pre_kernel
+    assert pre_kernel.count("Exchange") <= 1  # the fan-out, nothing else
+    if "Exchange" in pre_kernel:
+        assert "RoundRobinPartitioning" in pre_kernel
     assert "FileScan parquet" in pre_kernel
 
 
 def test_dist_zone_join_is_equi_join_plus_one_agg_shuffle(spark):
     """The distributed path must be joins + ONE candidate aggregate
-    shuffle + ONE grouped-map repartition — no cartesian products, no
-    collect-driven plan nodes."""
+    shuffle — no cartesian products, no collect-driven plan nodes, and
+    (since round 6) NO grouped-map repartition: the batched clip kernel
+    treats pairs independently, so the metrics-only path runs
+    mapInPandas straight off the re-attach joins."""
     plan = _plan(spark, "zone_intersect_lines_dist")
     assert "CartesianProduct" not in plan
-    assert "REPARTITION_BY_COL" in plan  # the salted grouped-map shuffle
+    assert "REPARTITION_BY_COL" not in plan  # regroup exchange removed (r6)
     assert "hashpartitioning(__eid" in plan  # the candidate aggregate
     assert "partial_count" in plan  # map-side combine on the containment agg
 
@@ -126,7 +138,7 @@ def test_shapefile_read_is_one_arrow_pass(spark):
 def test_100k_zone_dist_no_cartesian(spark):
     plan = _plan(spark, "zone_intersect_100k_zones_dist")
     assert "CartesianProduct" not in plan
-    assert "REPARTITION_BY_COL" in plan  # zone-bucketed grouped map
+    assert "REPARTITION_BY_COL" not in plan  # regroup exchange removed (r6)
 
 
 def test_host_link_pagerank_all_jvm_no_cartesian(spark):
