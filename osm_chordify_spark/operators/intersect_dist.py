@@ -230,7 +230,7 @@ def _build_candidates(edges, zones_df, zone_fields, zone_renames, edge_renames,
             F.col(geometry_col).alias("__zgeom"),
             *[F.col(zf.name).alias(zone_renames[zf.name]) for zf in zone_fields],
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def zone_cells(batches):
@@ -257,7 +257,7 @@ def _build_candidates(edges, zones_df, zone_fields, zone_renames, edge_renames,
         zone_cells,
         schema="__zid long, cell long, full boolean, "
                "__zx0 double, __zy0 double, __zx1 double, __zy1 double",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     res_list = _zone_res_list(zcells) or [index_res]
 
     # ---- edge side: ids + (cell, n_cells, rounded length) cover rows ----
@@ -853,7 +853,7 @@ def nearest_zone_dist(
         F.monotonically_increasing_id().alias("__zid"),
         F.col(zone_id_col).alias("__zname"),
         F.col(geometry_col).alias("__zgeom"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     def zone_cells(batches):
         # batched cover classification — see _build_candidates.zone_cells
@@ -870,7 +870,7 @@ def nearest_zone_dist(
     zcells = (
         zindexed.select("__zid", "__zgeom")
         .mapInPandas(zone_cells, schema="__zid long, __cell long")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     res_list = _zone_res_list(zcells, "__cell") or [index_res]
 

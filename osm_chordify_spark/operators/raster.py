@@ -833,7 +833,7 @@ def zonal_stats_dist(
         F.monotonically_increasing_id().alias("__zid"),
         F.col(zone_id_col).alias("zone_id"),
         F.col(geometry_col).alias("__zgeom"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # mixed-resolution covers (round 4): each zone's cover lives at its
     # own over-cover-guarded resolution — the same per-zone
@@ -860,7 +860,7 @@ def zonal_stats_dist(
 
     zcells = zindexed.select("__zid", "__zgeom").mapInPandas(
         zone_cells, schema="__zid long, __icell long, full boolean"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     from osm_chordify_spark.operators.intersect_dist import _zone_res_list
 
     res_list = _zone_res_list(zcells, "__icell") or [res]
