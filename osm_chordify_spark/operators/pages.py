@@ -72,6 +72,11 @@ def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``html`` embeds the document text verbatim between markers plus a
     geo.position anchor built from the deterministic coordinates; the
     expected extraction output is the ``text`` column itself."""
+    # NOT fan_out: measured slower (0.8 s -> 1.1 s) — at the synthetic
+    # gate's 5000-row input the extra exchange plus 32-task Python
+    # worker overheads exceed the single-core kernel time; the bench's
+    # 1M-page flagship reads a multi-split fixture and never takes this
+    # path
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with_coords = (
         docs.withColumn("lon", lon_col())
