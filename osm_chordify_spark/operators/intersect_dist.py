@@ -18,13 +18,13 @@ intersect.py:586-884) as a pure DataFrame program:
    ``every cover cell of the edge is a full cell of the zone``
    (reference intersect.py:703-733);
 4. zone geometry and edge geometry re-attach to the candidate set by
-   key, and the exact clip kernel (``intersect._exact_clip_edges_vs_zone``
-   — the SAME function the broadcast path runs) executes per
-   (zone-bucket, salt-bucket) group via ``graph._grouped_map``: zone
-   buckets pack many tiny zones into one Arrow group (the kernel
-   regroups by zone in pandas), salting splits hot zones (dense urban
-   polygons) across tasks — both semantically free because every
-   (edge, zone) pair is independent.
+   key, and the exact clip runs as a BATCHED kernel over whole Arrow
+   batches (``geom_batch.clip_pairs_totals`` — float-accumulation-order
+   identical to ``intersect._exact_clip_edges_vs_zone``, which the
+   keep_geometry path still runs per zone group): since round 6 the
+   metrics-only shape needs NO regroup exchange at all — every
+   (edge, zone) pair is independent and the kernel dedups WKB parses
+   per batch, so mapInPandas runs straight off the re-attach joins.
 
 Output is row-for-row and value-identical to
 ``intersect.intersect_lines_with_zones`` (schema from the same
@@ -33,8 +33,9 @@ hash-parity between the two paths.
 
 Scale shape: no broadcast anywhere; the only driver-side values are two
 scalars (effective resolution, global edge bbox).  Shuffles: cell join,
-candidate groupBy, two re-attach joins, one grouped-map repartition —
-all on keys AQE can handle; the fact side is never collected.
+candidate groupBy, two re-attach joins (plus, keep_geometry only, one
+grouped-map repartition) — all on keys AQE can handle; the fact side is
+never collected.
 
 Known trade-off, deliberately taken: the re-attach join duplicates the
 zone's geometry bytes once per candidate pair through the grouped-map
@@ -127,8 +128,8 @@ def _per_zone(kern_zone):
 def _resolve_reattach(reattach: str, zindexed: DataFrame,
                       cogroup_wkb_bytes: int) -> str:
     """``auto`` → join/cogroup from the mean zone WKB size (one cheap
-    aggregate over the ALREADY-MATERIALIZED zone payload: zindexed is
-    eagerly checkpointed by _build_candidates)."""
+    aggregate over the zone payload; its lazy checkpoint materializes
+    here and is reused by every later consumer)."""
     if reattach in ("join", "cogroup"):
         return reattach
     if reattach != "auto":
